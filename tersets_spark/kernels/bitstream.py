@@ -1,0 +1,231 @@
+"""Vectorized variable-width bit packing.
+
+Engine analog of the reference's ``BitWriter``/``BulkBitWriter`` /
+``BitReader``/``BulkBitReader`` (reference:
+/root/reference/src/utilities/shared_structs.zig:130-454). The reference
+streams bits one value at a time in Zig; here the whole array is packed
+in a handful of numpy operations so the kernels stay vectorized inside
+Arrow UDF batches (no per-row Python in the hot path, per
+BASELINE.json.input_hint).
+
+Layout matches the reference's convention: MSB-first within the stream
+(shared_structs.zig:130-140), i.e. the first bit written lands in the
+most significant bit of byte 0.
+
+Strategy: explode every value into its individual bits at absolute bit
+positions (``np.repeat`` + segment-local arange), then ``np.packbits``.
+Decoding mirrors it with ``np.unpackbits`` + ``np.add.reduceat`` over
+per-value segments. O(total_bits) numpy work, no Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "pack_bits",
+    "unpack_bits",
+    "segment_intra_indices",
+    "zigzag_encode",
+    "zigzag_decode",
+    "float_bits_ordered",
+    "float_bits_unordered",
+    "bit_length",
+    "pack_uint_stream",
+    "unpack_uint_stream",
+    "pack_elias_gamma",
+    "unpack_elias_gamma",
+]
+
+#: Width classes for the 2-bit length-prefix scheme, mirroring the
+#: reference's 8/16/32/64 prefix codes
+#: (/root/reference/src/utilities/shared_functions.zig:347-373).
+CLASS_WIDTHS = np.array([8, 16, 32, 64], dtype=np.int64)
+
+
+def segment_intra_indices(widths: np.ndarray) -> np.ndarray:
+    """For segments of sizes ``widths``, return 0..w-1 within each segment,
+    concatenated. E.g. [2, 0, 3] -> [0, 1, 0, 1, 2]."""
+    widths = np.asarray(widths, dtype=np.int64)
+    total = int(widths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.repeat(np.cumsum(widths) - widths, widths)
+    return np.arange(total, dtype=np.int64) - starts
+
+
+def pack_bits(values: np.ndarray, widths) -> bytes:
+    """Pack ``values[i]`` into ``widths[i]`` bits each, MSB-first.
+
+    ``values`` must be unsigned (uint64); only the low ``widths[i]`` bits
+    of each value are stored. ``widths`` may be a scalar or an array;
+    zero widths are legal and contribute no bits.
+    """
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    n = values.shape[0]
+    if np.isscalar(widths) or getattr(widths, "ndim", 1) == 0:
+        widths = np.full(n, int(widths), dtype=np.int64)
+    else:
+        widths = np.asarray(widths, dtype=np.int64)
+    if n == 0 or widths.sum() == 0:
+        return b""
+    intra = segment_intra_indices(widths)
+    vals_rep = np.repeat(values, widths)
+    widths_rep = np.repeat(widths, widths)
+    shifts = (widths_rep - 1 - intra).astype(np.uint64)
+    bits = ((vals_rep >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def unpack_bits(buf: bytes | np.ndarray, widths, bit_offset: int = 0) -> np.ndarray:
+    """Inverse of :func:`pack_bits` — decode values of the given bit
+    widths starting at ``bit_offset`` bits into ``buf``.
+
+    Returns a uint64 array with one entry per width (zero-width entries
+    decode to 0).
+    """
+    if np.isscalar(widths) or getattr(widths, "ndim", 1) == 0:
+        raise ValueError("unpack_bits needs an explicit widths array")
+    widths = np.asarray(widths, dtype=np.int64)
+    n = widths.shape[0]
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(widths.sum())
+    if n == 0 or total == 0:
+        return out
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    nbytes_needed = (bit_offset + total + 7) // 8
+    bits = np.unpackbits(raw[:nbytes_needed])[bit_offset : bit_offset + total]
+    bits = bits.astype(np.uint64)
+    intra = segment_intra_indices(widths)
+    widths_rep = np.repeat(widths, widths)
+    shifts = (widths_rep - 1 - intra).astype(np.uint64)
+    weighted = bits << shifts
+    mask = widths > 0
+    starts = (np.cumsum(widths) - widths)[mask]
+    # reduceat over the starts of non-empty segments only: empty segments
+    # contribute no bits, so consecutive non-empty starts tile the stream.
+    sums = np.add.reduceat(weighted, starts) if starts.size else np.empty(0, np.uint64)
+    out[mask] = sums
+    return out
+
+
+def bit_length(u: np.ndarray) -> np.ndarray:
+    """Bit length of each uint64 (0 -> 0), vectorized via float64 exponent
+    extraction with an exact correction for values >= 2^53 (where the
+    int->float conversion may round up past a power of two)."""
+    u = np.asarray(u, dtype=np.uint64)
+    out = np.zeros(u.shape, dtype=np.int64)
+    nz = u > 0
+    if not nz.any():
+        return out
+    f = u[nz].astype(np.float64)
+    exp = ((f.view(np.uint64) >> np.uint64(52)) & np.uint64(0x7FF)).astype(np.int64) - 1023
+    too_big = np.ones(exp.shape, dtype=bool)
+    safe = exp < 64
+    pow2 = np.zeros(exp.shape, dtype=np.uint64)
+    pow2[safe] = np.uint64(1) << exp[safe].astype(np.uint64)
+    too_big[safe] = pow2[safe] > u[nz][safe]
+    out[nz] = exp - too_big.astype(np.int64) + 1
+    return out
+
+
+def pack_uint_stream(u: np.ndarray) -> bytes:
+    """Pack non-negative uint64 values as [2-bit class per value] followed
+    by four class-ordered sections at 8/16/32/64 bits per value."""
+    u = np.asarray(u, dtype=np.uint64)
+    classes = np.digitize(bit_length(u), CLASS_WIDTHS, right=True).astype(np.uint64)
+    parts = [pack_bits(classes, 2)]
+    for ci, w in enumerate(CLASS_WIDTHS):
+        sel = u[classes == np.uint64(ci)]
+        if sel.size:
+            parts.append(pack_bits(sel, int(w)))
+    return b"".join(parts)
+
+
+def unpack_uint_stream(buf: np.ndarray | bytes, n: int) -> tuple[np.ndarray, int]:
+    """Inverse of :func:`pack_uint_stream`; returns (values, bytes_used)."""
+    buf = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    classes = unpack_bits(buf, np.full(n, 2, dtype=np.int64)).astype(np.int64)
+    pos = (2 * n + 7) // 8
+    out = np.zeros(n, dtype=np.uint64)
+    for ci, w in enumerate(CLASS_WIDTHS):
+        idx = np.flatnonzero(classes == ci)
+        if idx.size:
+            out[idx] = unpack_bits(buf[pos:], np.full(idx.size, int(w), dtype=np.int64))
+            pos += (int(w) * idx.size + 7) // 8
+    return out, pos
+
+
+def pack_elias_gamma(u: np.ndarray) -> bytes:
+    """Sectioned Elias-Gamma for values >= 1 (reference codec:
+    /root/reference/src/utilities/shared_functions.zig:225-292).
+
+    The classic interleaved code ((N-1) zeros, then the N-bit value) needs
+    a sequential parse; the engine stores the same information in two
+    vectorizable sections: a unary section (N-1 zeros + terminating 1 per
+    value — the 1s mark code boundaries) and a remainder section (the low
+    N-1 bits of each value)."""
+    u = np.asarray(u, dtype=np.uint64)
+    if (u == 0).any():
+        raise ValueError("Elias-Gamma requires values >= 1")
+    nbits = bit_length(u)
+    unary = pack_bits(np.ones(u.size, dtype=np.uint64), nbits)  # 0...01 per value
+    top = np.uint64(1) << (nbits - 1).astype(np.uint64)
+    rem = u ^ top  # strip the leading 1 bit
+    return (
+        np.uint32(u.size).tobytes()
+        + np.uint32((int(nbits.sum()) + 7) // 8).tobytes()
+        + unary
+        + pack_bits(rem, nbits - 1)
+    )
+
+
+def unpack_elias_gamma(buf: np.ndarray | bytes) -> tuple[np.ndarray, int]:
+    """Inverse of :func:`pack_elias_gamma`; returns (values, bytes_used)."""
+    buf = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    n = int(buf[:4].view(np.uint32)[0])
+    unary_bytes = int(buf[4:8].view(np.uint32)[0])
+    pos = 8
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), pos
+    ubits = np.unpackbits(buf[pos : pos + unary_bytes])
+    ones = np.flatnonzero(ubits == 1)[:n]
+    nbits = np.diff(np.concatenate(([-1], ones))).astype(np.int64)  # code lengths
+    pos += unary_bytes
+    rem = unpack_bits(buf[pos:], nbits - 1)
+    pos += (int((nbits - 1).sum()) + 7) // 8
+    top = (np.uint64(1) << (nbits - 1).astype(np.uint64)).astype(np.uint64)
+    return top | rem, pos
+
+
+def zigzag_encode(v: np.ndarray) -> np.ndarray:
+    """Signed -> unsigned zigzag (reference:
+    /root/reference/src/utilities/shared_functions.zig:197-217)."""
+    v = np.asarray(v, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(np.int64)
+
+
+def float_bits_ordered(v: np.ndarray) -> np.ndarray:
+    """Order-preserving f64 -> u64 mapping (reference:
+    /root/reference/src/utilities/shared_functions.zig:298-305):
+    negative floats get all bits flipped, positives get the sign bit set,
+    so unsigned integer order == float order."""
+    bits = np.ascontiguousarray(v, dtype=np.float64).view(np.uint64)
+    sign = (bits >> np.uint64(63)).astype(bool)
+    out = np.where(sign, ~bits, bits | np.uint64(1) << np.uint64(63))
+    return out.astype(np.uint64)
+
+
+def float_bits_unordered(u: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`float_bits_ordered`."""
+    u = np.asarray(u, dtype=np.uint64)
+    sign = (u >> np.uint64(63)).astype(bool)
+    bits = np.where(sign, u & ~(np.uint64(1) << np.uint64(63)), ~u)
+    return bits.astype(np.uint64).view(np.float64)
