@@ -1,0 +1,216 @@
+"""Swing and Slide filters — piecewise linear ε-approximation
+(methods 3, 4, 5).
+
+Reference semantics:
+/root/reference/src/lossy_compression/functional_approximation/swing_slide_filter.zig
+— SwingFilter (:65-258): connected PLA maintaining upper/lower swing
+slope bounds anchored at the previous knot; on violation emit
+``(end_value, end_index)`` with the SSE-minimizing slope clamped to the
+feasible bound interval (Elmeleegy VLDB'09 Eq. 5/6).
+SwingFilterDisconnected (:499-695): same bounds but disjoint segments
+emitting ``(start_value, end_value, end_index)`` triples.
+SlideFilter (:266-490): disjoint PLA with convex-hull bound maintenance
+(Lemma 4.3) — the engine computes the same L∞-optimal line per segment
+with an explicit Chebyshev fit over the hull (segmentation.cheb_fit).
+
+All three shrink ε by ``ErrorBoundMargin`` = 1e-7
+(/root/reference/src/utilities/shared_structs.zig:24-27, applied at
+swing_slide_filter.zig:82-85). Non-finite values are recorded exactly as
+singleton knots/segments, mirroring the reference's recording mechanism
+(:119-125).
+
+Engine payloads (little-endian):
+  Swing:        f64 first, then (f64 end_value, u64 end_index) pairs
+  Disconnected: (f64 start_value, f64 end_value, u64 end_index) triples
+                (decompress shared with Slide, as in the reference
+                 src/tersets.zig:384-386; len % 24 == 0 check :767)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..methods import ERROR_BOUND_MARGIN, Method
+from .registry import register
+from .segmentation import cheb_fit, finite_runs, first_violation
+
+
+def _effective_eps(eps: float) -> float:
+    if eps < 0 or not np.isfinite(eps):
+        raise ValueError("abs_error_bound must be a finite value >= 0")
+    return max(eps - ERROR_BOUND_MARGIN, 0.0) if eps > 0 else 0.0
+
+
+def _swing_segment(v: np.ndarray, anchor_i: int, anchor_v: float, e: int, eps: float):
+    """Longest feasible swing segment from the anchor: returns
+    (end_index_inclusive, slope). Bounds: slope must stay within
+    [max lower, min upper] over every covered point."""
+
+    def scan(hi: int) -> int:
+        j = np.arange(anchor_i + 1, hi, dtype=np.float64)
+        if j.size == 0:
+            return -1
+        x = v[anchor_i + 1 : hi]
+        dt = j - anchor_i
+        up = np.minimum.accumulate((x + eps - anchor_v) / dt)
+        lo = np.maximum.accumulate((x - eps - anchor_v) / dt)
+        bad = lo > up
+        idx = np.flatnonzero(bad)
+        return anchor_i + 1 + int(idx[0]) if idx.size else -1
+
+    stop = first_violation(e, anchor_i + 1, scan)  # first infeasible point
+    end = stop - 1 if stop < e else e - 1
+    if end <= anchor_i:
+        end = anchor_i + 1  # single point is always feasible
+    x = v[anchor_i + 1 : end + 1]
+    dt = np.arange(1, x.size + 1, dtype=np.float64)
+    up = float(np.min((x + eps - anchor_v) / dt))
+    lo = float(np.max((x - eps - anchor_v) / dt))
+    # SSE-optimal slope through the anchor (Eq. 5/6), clamped to bounds
+    opt = float(np.dot(x - anchor_v, dt) / np.dot(dt, dt))
+    slope = min(max(opt, lo), up)
+    return end, slope
+
+
+def compress_swing(values: np.ndarray, config: dict | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    eps = _effective_eps(float((config or {}).get("abs_error_bound", 0.0)))
+    knots_v: list[float] = []
+    knots_i: list[int] = []
+
+    def emit(val: float, idx: int) -> None:
+        knots_v.append(float(val))
+        knots_i.append(int(idx))
+
+    for s, e, is_finite in finite_runs(v):
+        if not is_finite:
+            emit(v[s], s)
+            continue
+        anchor_i, anchor_v = s, float(v[s])
+        emit(anchor_v, s)  # run-opening knot is exact
+        while anchor_i < e - 1:
+            end, slope = _swing_segment(v, anchor_i, anchor_v, e, eps)
+            end_v = anchor_v + slope * (end - anchor_i)
+            emit(end_v, end)
+            anchor_i, anchor_v = end, end_v
+    out = np.empty(2 * len(knots_v), dtype=np.uint64)
+    out[0::2] = np.asarray(knots_v, dtype=np.float64).view(np.uint64)
+    out[1::2] = np.asarray(knots_i, dtype=np.uint64)
+    return out.tobytes()
+
+
+def decompress_swing(payload: bytes) -> np.ndarray:
+    if len(payload) % 16 != 0:
+        raise ValueError("corrupt Swing payload")
+    raw = np.frombuffer(payload, dtype=np.uint64)
+    kv = raw[0::2].view(np.float64)
+    ki = raw[1::2].astype(np.int64)
+    n = int(ki[-1]) + 1 if ki.size else 0
+    out = np.empty(n, dtype=np.float64)
+    for k in range(ki.size):
+        i = ki[k]
+        out[i] = kv[k]
+        if k + 1 < ki.size and ki[k + 1] > i + 1:
+            j = ki[k + 1]
+            t = np.arange(1, j - i, dtype=np.float64)
+            out[i + 1 : j] = kv[k] + (kv[k + 1] - kv[k]) * t / (j - i)
+    return out
+
+
+def _pack_triples(triples: list[tuple[float, float, int]]) -> bytes:
+    out = np.empty(3 * len(triples), dtype=np.uint64)
+    out[0::3] = np.asarray([t[0] for t in triples], dtype=np.float64).view(np.uint64)
+    out[1::3] = np.asarray([t[1] for t in triples], dtype=np.float64).view(np.uint64)
+    out[2::3] = np.asarray([t[2] for t in triples], dtype=np.uint64)
+    return out.tobytes()
+
+
+def decompress_triples(payload: bytes) -> np.ndarray:
+    """Shared decompressor for disjoint-segment triple formats
+    (SwingDisconnected / Slide / SlidingWindow / BottomUp — mirrors the
+    reference's shared dispatch, src/tersets.zig:384-386)."""
+    if len(payload) % 24 != 0:
+        raise ValueError("corrupt triple payload: length % 24 != 0")
+    raw = np.frombuffer(payload, dtype=np.uint64)
+    sv = raw[0::3].view(np.float64)
+    ev = raw[1::3].view(np.float64)
+    ends = raw[2::3].astype(np.int64)  # inclusive end index
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    n = int(ends[-1]) + 1 if ends.size else 0
+    out = np.empty(n, dtype=np.float64)
+    for k in range(ends.size):
+        s, e = starts[k], ends[k]
+        if e == s:
+            out[s] = sv[k]
+        else:
+            t = np.arange(0, e - s + 1, dtype=np.float64)
+            out[s : e + 1] = sv[k] + (ev[k] - sv[k]) * t / (e - s)
+    return out
+
+
+def compress_swing_disconnected(values: np.ndarray, config: dict | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    eps = _effective_eps(float((config or {}).get("abs_error_bound", 0.0)))
+    triples: list[tuple[float, float, int]] = []
+    for s, e, is_finite in finite_runs(v):
+        if not is_finite:
+            triples.append((float(v[s]), float(v[s]), s))
+            continue
+        start = s
+        while start < e:
+            if start == e - 1:
+                triples.append((float(v[start]), float(v[start]), start))
+                break
+            anchor_v = float(v[start])
+            end, slope = _swing_segment(v, start, anchor_v, e, eps)
+            triples.append((anchor_v, anchor_v + slope * (end - start), end))
+            start = end + 1
+    return _pack_triples(triples)
+
+
+def _slide_segment(v: np.ndarray, s: int, e: int, eps: float):
+    """Longest segment from s admitting an L∞ fit with maxerr <= eps
+    (feasibility is monotone in segment length, so galloping +
+    first-violation is exact). Returns (end_inclusive, slope, intercept)
+    with intercept at local x=0 (i.e. at index s)."""
+
+    def scan(hi: int) -> int:
+        # find first prefix length whose Chebyshev width exceeds eps;
+        # widths are monotone in prefix length, so bisect inside the block
+        x = v[s:hi]
+        if cheb_fit(x)[2] <= eps:
+            return -1
+        lo_len, hi_len = 2, x.size  # length 2 always feasible (err 0)
+        while lo_len < hi_len:
+            mid = (lo_len + hi_len) // 2 + 1
+            if cheb_fit(x[:mid])[2] <= eps:
+                lo_len = mid
+            else:
+                hi_len = mid - 1
+        return s + lo_len  # first infeasible index
+
+    stop = first_violation(e, s + 2, scan) if e - s > 2 else e
+    end = min(stop, e) - 1
+    slope, intercept, _ = cheb_fit(v[s : end + 1])
+    return end, slope, intercept
+
+
+def compress_slide(values: np.ndarray, config: dict | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    eps = _effective_eps(float((config or {}).get("abs_error_bound", 0.0)))
+    triples: list[tuple[float, float, int]] = []
+    for s, e, is_finite in finite_runs(v):
+        if not is_finite:
+            triples.append((float(v[s]), float(v[s]), s))
+            continue
+        start = s
+        while start < e:
+            end, slope, intercept = _slide_segment(v, start, e, eps)
+            triples.append((intercept, intercept + slope * (end - start), end))
+            start = end + 1
+    return _pack_triples(triples)
+
+
+register(Method.SwingFilter, compress_swing, decompress_swing)
+register(Method.SwingFilterDisconnected, compress_swing_disconnected, decompress_triples)
+register(Method.SlideFilter, compress_slide, decompress_triples)
