@@ -1,0 +1,181 @@
+"""Distributed compress / decompress over token-sequence DataFrames.
+
+Spark-first design notes (scale target: 10^12 sequences / ~100 TB):
+
+* **Chunking is the skew control.** Long token arrays (tail up to 262k
+  tokens, FIXTURES.md §1) are split JVM-side into fixed CHUNK-token
+  slices with ``sequence`` + ``explode`` + ``slice`` — pure Catalyst
+  expressions, no Python. Chunk boundaries are deterministic
+  (``chunk_id = first_pos / CHUNK``), which makes retries and
+  checkpoint resume idempotent (SURVEY.md §7 risk register).
+* **No shuffle on the compress path.** After the narrow chunk explode,
+  compression is row-local: ``mapInPandas`` consumes Arrow batches and
+  runs the numpy kernel per chunk. The only shuffle in a full
+  round-trip is the groupBy(doc_id) at reassembly, whose groups are
+  bounded at ≤ 64 chunks/doc — no hot keys.
+* **Python stays vectorized.** The kernel does O(1) Python work per
+  chunk and numpy work per token; Arrow batch size is tuned in
+  session.py.
+
+Blob convention: trailing method byte
+(/root/reference/src/tersets.zig:352) — blocks are self-describing and
+survive shuffles/checkpoints without side metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import registry
+from ..methods import Method
+
+#: tokens per compression block; deterministic for resume
+CHUNK = 4096
+
+BLOCKS_SCHEMA = (
+    "doc_id string, chunk_id int, method tinyint, blob binary, "
+    "n_values int, first_pos long, bytes int"
+)
+
+
+def chunk_tokens(df: DataFrame, chunk: int = CHUNK) -> DataFrame:
+    """Split ``(doc_id, tokens, ...)`` into ``(doc_id, chunk_id,
+    first_pos, chunk_tokens, n_values)`` rows, JVM-side only."""
+    n_chunks = F.greatest(F.ceil(F.size("tokens") / chunk).cast("int"), F.lit(1))
+    return (
+        df.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("first_pos", (F.col("chunk_id").cast("long") * chunk))
+        .withColumn(
+            "chunk_tokens",
+            F.slice(F.col("tokens"), F.col("chunk_id") * chunk + 1, chunk),
+        )
+        .withColumn("n_values", F.size("chunk_tokens"))
+        .drop("tokens")
+    )
+
+
+def compress_blocks(
+    df: DataFrame,
+    method: Method = Method.BitPackedDeltaEncoding,
+    config: dict | None = None,
+    chunk: int = CHUNK,
+) -> DataFrame:
+    """Compress a token table into the blocks table (FIXTURES.md §3).
+
+    Input: ``(doc_id string, tokens array<int32>, ...)``.
+    Output: BLOCKS_SCHEMA rows, one per chunk.
+    """
+    method_code = int(method)
+    cfg = dict(config or {})
+    chunked = chunk_tokens(df, chunk).select(
+        "doc_id", "chunk_id", "first_pos", "chunk_tokens", "n_values"
+    )
+
+    def compress_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = Method(method_code)
+        for pdf in batches:
+            blobs = []
+            for toks in pdf["chunk_tokens"]:
+                v = np.asarray(toks, dtype=np.float64)
+                blobs.append(registry.compress(v, m, cfg))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_id": pdf["chunk_id"].astype("int32"),
+                    "method": np.int8(method_code),
+                    "blob": blobs,
+                    "n_values": pdf["n_values"].astype("int32"),
+                    "first_pos": pdf["first_pos"].astype("int64"),
+                    "bytes": np.asarray([len(b) for b in blobs], dtype=np.int32),
+                }
+            )
+
+    return chunked.mapInPandas(compress_batches, schema=BLOCKS_SCHEMA)
+
+
+DECODED_SCHEMA = "doc_id string, chunk_id int, first_pos long, tokens array<int>"
+
+
+def decompress_blocks(blocks: DataFrame) -> DataFrame:
+    """Decode blocks back to ``(doc_id, chunk_id, first_pos,
+    tokens array<int32>)`` chunk rows (row-local, no shuffle)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = [
+                registry.decompress(bytes(b)).astype(np.int32) for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_id": pdf["chunk_id"],
+                    "first_pos": pdf["first_pos"],
+                    "tokens": toks,
+                }
+            )
+
+    return blocks.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def reassemble(decoded: DataFrame) -> DataFrame:
+    """Stitch chunk rows back into full sequences: ``(doc_id, tokens)``.
+
+    Pure Catalyst: collect_list of (chunk_id, tokens) structs,
+    array_sort (sorts by first struct field), then flatten — the one
+    shuffle of the round-trip, with group sizes bounded by the chunk
+    fan-out (≤ 64 rows/doc)."""
+    return (
+        decoded.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+    )
+
+
+def roundtrip_verify(
+    df: DataFrame,
+    method: Method = Method.BitPackedDeltaEncoding,
+    config: dict | None = None,
+    chunk: int = CHUNK,
+) -> DataFrame:
+    """Per-doc lossless invariant (BASELINE.json.input_hint): returns
+    ``(doc_id, n_tok, method, roundtrip_ok, raw_bytes, compressed_bytes)``.
+
+    ``roundtrip_ok`` compares the reassembled array element-wise against
+    the original — the engine form of the reference's bit-identical gate
+    (/root/reference/src/tersets.zig:887-888)."""
+    blocks = compress_blocks(df, method, config, chunk)
+    sizes = blocks.groupBy("doc_id").agg(
+        F.sum("bytes").alias("compressed_bytes"),
+        F.sum("n_values").alias("n_decoded"),
+    )
+    restored = reassemble(decompress_blocks(blocks))
+    return (
+        df.select("doc_id", "tokens", "n_tok")
+        .join(restored.withColumnRenamed("tokens", "tokens_rt"), "doc_id")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tok"),
+            F.lit(int(method)).alias("method"),
+            (
+                (F.size("tokens") == F.size("tokens_rt"))
+                & F.forall(
+                    F.zip_with("tokens", "tokens_rt", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            ).alias("roundtrip_ok"),
+            (F.col("n_tok").cast("long") * 4).alias("raw_bytes"),
+            F.col("compressed_bytes"),
+        )
+    )
