@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship mini-pipeline on sf0.001;
+``queries()`` exposes each implemented operator from SURVEY.md §2 (plus
+the training-pipeline operators) over the driver test tables;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Column names and
+types are aligned pairwise; float aggregates are rounded on both sides
+to absorb summation-order differences.
 """
 
 from __future__ import annotations
@@ -12,27 +13,397 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from tersets_spark.methods import Method
+
+# ----------------------------------------------------------------- helpers
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tokenization of the documents table reproducible in
+    ANSI SQL: token = length of each whitespace-split word."""
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("transform(split(text, ' '), w -> length(w))").alias("tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+    )
+
+
+def _char_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-codepoint tokens (denser series for tier rollups)."""
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
+        ).alias("tokens"),
+        F.length("text").cast("int").alias("n_tok"),
+    )
+
+
+_WORD_TOKENS_ORACLE = "list_transform(string_split(text, ' '), w -> length(w))"
+_CHAR_TOKENS_ORACLE = (
+    "list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i, 1)))"
+)
+
+
+def _rollup_events_query(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tersets_spark.operators.rollup import rollup_events
+
+        out = rollup_events(_events(spark, sf_dir), tier=tier)
+        return out.select(
+            "user_id",
+            "bucket",
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+            F.round("vmean", 4).alias("vmean"),
+            "vcount",
+        )
+
+    return q
+
+
+def _rollup_events_oracle(width: int) -> str:
+    return f"""
+        SELECT user_id,
+               CAST(floor(epoch(ts)/{width})*{width} AS BIGINT) AS bucket,
+               round(min(value), 4) AS vmin,
+               round(max(value), 4) AS vmax,
+               round(avg(value), 4) AS vmean,
+               count(value) AS vcount
+        FROM events GROUP BY 1, 2
+    """
+
+
+def _roundtrip_query(method: Method):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tersets_spark.operators.compress import roundtrip_verify
+
+        out = roundtrip_verify(_word_tokens(spark, sf_dir), method)
+        return out.select(
+            "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "roundtrip_ok"
+        )
+
+    return q
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           true AS roundtrip_ok
+    FROM documents
+"""
+
+
+def _tier_rollup_tokens_query(width: int, tokenizer):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tersets_spark.operators.rollup import rollup_tokens_base
+
+        out = rollup_tokens_base(tokenizer(spark, sf_dir), width)
+        return out.select(
+            "doc_id",
+            "bucket",
+            "vmin",
+            "vmax",
+            F.round(F.col("vsum") / F.col("vcount"), 4).alias("vmean"),
+            "vcount",
+        )
+
+    return q
+
+
+def _tier_rollup_tokens_oracle(width: int, tokens_expr: str) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   unnest({tokens_expr}) AS tok,
+                   unnest(generate_series(0, len({tokens_expr}) - 1)) AS pos
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(pos // {width} AS BIGINT) AS bucket,
+               CAST(min(tok) AS DOUBLE) AS vmin,
+               CAST(max(tok) AS DOUBLE) AS vmax,
+               round(avg(tok), 4) AS vmean,
+               count(*) AS vcount
+        FROM toks GROUP BY 1, 2
+    """
+
+
+def _gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.operators.gapfill import gapfill
+    from tersets_spark.operators.rollup import rollup_events
+
+    hourly = rollup_events(_events(spark, sf_dir), tier="1h").select(
+        F.col("user_id"), "bucket", "vmean"
+    )
+    dense = gapfill(hourly, ["user_id"], 3600, ["vmean"], method="locf")
+    return dense.select(
+        "user_id", "bucket", F.round("vmean", 4).alias("vmean"), "gap_filled"
+    )
+
+
+_GAPFILL_LOCF_ORACLE = """
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+               avg(value) AS vmean
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
+        FROM (SELECT user_id, min(bucket) lo, max(bucket) hi FROM hourly GROUP BY 1)
+    )
+    SELECT s.user_id, s.bucket,
+           round(last_value(h.vmean IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS vmean,
+           h.vmean IS NULL AS gap_filled
+    FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
+"""
+
+
+def _dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.select(F.col("doc_id").cast("long"), F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+    SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+"""
+
+
+def _textstats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.operators.textstats import text_stats
+
+    out = text_stats(_documents(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_chars").cast("long"),
+        F.col("n_words").cast("long"),
+        F.col("n_tokens_bpe").cast("long"),
+        "punct_ratio",
+        "mean_word_len",
+        "stopword_ratio_en",
+    )
+
+
+_TEXTSTATS_ORACLE = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(length(regexp_replace(text, '\s', '', 'g'))
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS mean_word_len,
+           round(len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+                 ['the','and','of','to','in','is','that','it','for','was']))
+                 / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 6)
+                 AS stopword_ratio_en
+    FROM documents
+"""
+
+
+def _ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.operators.similarity import brute_topk_sql
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = brute_topk_sql(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+_ANN_TOPK_ORACLE = """
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 AS cosine
+        FROM emb q, emb c
+        WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16)
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_MINHASH_JACCARD_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> substring(text, i, 5))) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+"""
+
+
+def _compression_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method compression ratio over the document token series —
+    engine-specific blob sizes, no SQL analog (rows-only check)."""
+    from tersets_spark.operators.compress import roundtrip_verify
+
+    toks = _word_tokens(spark, sf_dir)
+    frames = []
+    for m in (Method.BitPackedDeltaEncoding, Method.Chimp64, Method.RunLengthEncoding):
+        frames.append(
+            roundtrip_verify(toks, m).select(
+                F.lit(m.name).alias("method"),
+                "roundtrip_ok",
+                "raw_bytes",
+                "compressed_bytes",
+            )
+        )
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    return union.groupBy("method").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.col("roundtrip_ok").cast("int")).alias("all_ok"),
+        F.round(F.sum("raw_bytes") / F.sum("compressed_bytes"), 3).alias("ratio"),
+    )
+
+
+def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (blake2b not available in DuckDB —
+    rows-only check)."""
+    from tersets_spark.operators.dedup import simhash_near_dups
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return simhash_near_dups(docs, prefix_bits=12).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via hyperplane LSH (approximate by design —
+    rows-only check)."""
+    from tersets_spark.operators.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+# ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on sf0.001: tokenize -> compress (delta) ->
+    verify round-trip -> tier rollups -> per-source summary."""
+    sf_dir = "/root/testdata/sf0.001"
+    from tersets_spark.operators.compress import roundtrip_verify
+    from tersets_spark.operators.rollup import rollup_tokens_base
+
+    toks = _char_tokens(spark, sf_dir)
+    rt = roundtrip_verify(toks, Method.BitPackedDeltaEncoding)
+    roll = rollup_tokens_base(toks, 60)
+    summary = (
+        rt.agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col("roundtrip_ok").cast("int")).alias("all_roundtrip_ok"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("compressed_bytes").alias("compressed_bytes"),
+        )
+        .crossJoin(
+            roll.agg(
+                F.count("*").alias("n_rollup_rows"),
+                F.round(F.sum("vsum") / F.sum("vcount"), 4).alias("global_mean_token"),
+            )
+        )
+    )
+    return summary
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_events_1m": _rollup_events_query("1m"),
+        "rollup_events_1h": _rollup_events_query("1h"),
+        "rollup_events_1d": _rollup_events_query("1d"),
+        "gapfill_locf_1h": _gapfill_locf_query,
+        "roundtrip_delta": _roundtrip_query(Method.BitPackedDeltaEncoding),
+        "roundtrip_chimp64": _roundtrip_query(Method.Chimp64),
+        "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
+        "roundtrip_rle": _roundtrip_query(Method.RunLengthEncoding),
+        "tier_rollup_words_1m": _tier_rollup_tokens_query(60, _word_tokens),
+        "tier_rollup_chars_1m": _tier_rollup_tokens_query(60, _char_tokens),
+        "dedup_exact": _dedup_exact_query,
+        "minhash_jaccard_dups": _minhash_jaccard_query,
+        "textstats": _textstats_query,
+        "ann_topk": _ann_topk_query,
+        "compression_summary": _compression_summary_query,
+        "simhash_candidates": _simhash_query,
+        "lsh_ann_topk": _lsh_ann_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_events_1m": _rollup_events_oracle(60),
+        "rollup_events_1h": _rollup_events_oracle(3600),
+        "rollup_events_1d": _rollup_events_oracle(86400),
+        "gapfill_locf_1h": _GAPFILL_LOCF_ORACLE,
+        "roundtrip_delta": _ROUNDTRIP_ORACLE,
+        "roundtrip_chimp64": _ROUNDTRIP_ORACLE,
+        "roundtrip_chimp128": _ROUNDTRIP_ORACLE,
+        "roundtrip_rle": _ROUNDTRIP_ORACLE,
+        "tier_rollup_words_1m": _tier_rollup_tokens_oracle(60, _WORD_TOKENS_ORACLE),
+        "tier_rollup_chars_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "minhash_jaccard_dups": _MINHASH_JACCARD_ORACLE,
+        "textstats": _TEXTSTATS_ORACLE,
+        "ann_topk": _ANN_TOPK_ORACLE,
+        # compression_summary / simhash_candidates / lsh_ann_topk:
+        # engine-specific or approximate-by-design -> rows-only check
+    }

@@ -1,0 +1,110 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": "tokens_per_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+The flagship measurement mirrors BASELINE.json's primary metric:
+tokens/sec for compress (BitPackedDeltaEncoding) + tier rollups
+(1m/1h/1d) + lossless round-trip verification over the deterministic
+synthetic token table (FIXTURES.md §1), sized by scale factor.
+Secondary queries time the other operator families on the driver test
+tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tersets_spark.methods import Method
+    from tersets_spark.operators.compress import compress_blocks, roundtrip_verify
+    from tersets_spark.operators.rollup import reaggregate, rollup_tokens_base
+    from tersets_spark.session import get_spark
+    from tersets_spark.sources.synth import synth_tokens
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    timings: dict[str, float] = {}
+
+    # ---- flagship: compress + rollup + verify over synthetic tokens ----
+    n_docs = max(int(30000 * sf), 200)
+    toks = synth_tokens(spark, n_docs).persist()
+    total_tokens = toks.agg(F.sum("n_tok")).collect()[0][0]
+
+    t0 = time.time()
+    rt = roundtrip_verify(toks, Method.BitPackedDeltaEncoding)
+    agg = rt.agg(
+        F.min(F.col("roundtrip_ok").cast("int")).alias("ok"),
+        F.sum("compressed_bytes").alias("cb"),
+        F.sum("raw_bytes").alias("rb"),
+    ).collect()[0]
+    base = rollup_tokens_base(toks, 60)
+    h = reaggregate(base.select("doc_id", "bucket", "vmin", "vmax", "vsum", "vcount"), 60)
+    d = reaggregate(h, 24)
+    n_roll = base.count() + h.count() + d.count()
+    flagship_sec = time.time() - t0
+    timings["flagship_compress_rollup"] = round(flagship_sec, 3)
+    if not agg["ok"]:
+        print(json.dumps({"metric": "tokens_per_sec", "value": 0.0, "unit": "sec", "error": "roundtrip failed", "sf": sf}))
+        return
+    tokens_per_sec = total_tokens / flagship_sec
+
+    # ---- secondary operator timings over the driver test tables ----
+    qs = entrymod.queries()
+    for name in (
+        "rollup_events_1m",
+        "rollup_events_1h",
+        "gapfill_locf_1h",
+        "roundtrip_chimp64",
+        "tier_rollup_chars_1m",
+        "dedup_exact",
+        "minhash_jaccard_dups",
+        "textstats",
+        "ann_topk",
+    ):
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "tokens_per_sec",
+        "value": round(tokens_per_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "detail": {
+            "n_docs": n_docs,
+            "total_tokens": int(total_tokens),
+            "compress_ratio": round(float(agg["rb"]) / float(agg["cb"]), 3),
+            "rollup_rows": int(n_roll),
+            "cpus": cpus,
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+if __name__ == "__main__":
+    main()

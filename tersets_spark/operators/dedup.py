@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is JVM-side (Catalyst expressions — no Python
+in the hot path); only SimHash uses a vectorized pandas UDF.
+
+Scale design:
+* exact: one hash-groupBy shuffle, map-side partial agg free.
+* MinHash+LSH: shingle → K minhashes (per-row array expressions) →
+  band buckets → self-join on (band, bucket). The self-join key space
+  grows with corpus size, so the shuffle is uniform; banding keeps the
+  candidate set near-linear. Verification joins only candidate pairs.
+* embedding near-dup: random-hyperplane LSH buckets, exact cosine only
+  within buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs,
+    keep_id = min id, doc_ids)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical text."""
+    w_rank = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    )
+    return df.withColumn("_rn", w_rank).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(text_col: str, k: int = 5) -> F.Column:
+    """Distinct character k-shingles as an array column (pure SQL)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+            f"i -> substring({text_col}, i, {k}))"
+        )
+    )
+
+
+def minhash_signature(shingle_col: str, n_hashes: int = 32) -> list[F.Column]:
+    """K independent minhashes: min over shingles of xxhash64(shingle,
+    seed_j) — all Catalyst, no UDF."""
+    return [
+        F.array_min(
+            F.expr(f"transform({shingle_col}, s -> xxhash64(s, {j}))")
+        ).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH:
+    (id_a, id_b) with id_a < id_b, deduplicated across bands."""
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        shingles(text_col, k_shingle).alias("_sh"),
+    ).select("_id", "_text", "_sh", *minhash_signature("_sh", n_hashes))
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", *band_cols).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (SQL set
+    ops); returns (id_a, id_b, jaccard >= threshold rows)."""
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("_sh"))
+    a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")
+    b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized per batch:
+    token hashing via numpy, bit votes via a (n_tokens, 64) unpack)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = (t or "").split()
+        if not words:
+            out[i] = 0
+            continue
+        # stable across processes (Python's hash() is salted per process)
+        hs = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                )
+                for w in words
+            ],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: identical high ``prefix_bits`` of the
+    SimHash (a cheap banded variant; rotate-and-rebucket for recall at
+    scale)."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sig"))
+    bucket = F.shiftrightunsigned("sig", 64 - prefix_bits).alias("bucket")
+    b = sig.select("_id", "sig", bucket)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates via random-hyperplane LSH:
+    bucket by sign bits, exact cosine inside buckets only."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    sign_bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in planes[p]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for p in range(n_planes)
+    ]
+    bucket = sum(
+        (c * (1 << p) for p, c in enumerate(sign_bits)), F.lit(0)
+    ).alias("bucket")
+    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket)
+    l, r = b.alias("l"), b.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, x: a * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}._v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")))
+        .withColumn("cosine", dot / (norm("l") * norm("r")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns.
+
+Two paths per the brief:
+
+* **Brute-force cosine top-k** — the correctness baseline. SQL variant
+  (``zip_with`` + ``aggregate`` dot products, window top-k) stays fully
+  Catalyst and oracle-comparable; the fast variant broadcasts the query
+  matrix and does one numpy matmul per Arrow batch (the classic
+  broadcast-small-side pattern: corpus streams, queries broadcast).
+* **LSH-bucketed ANN** — the scale path: random-hyperplane buckets with
+  multi-probe (flip one bit), exact cosine only within probed buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(col) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def brute_topk_sql(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pure-SQL brute-force cosine top-k: (query_id, neighbor_id, cosine,
+    rank). Self-matches excluded. The cross join broadcasts the smaller
+    side (AQE); exact and oracle-comparable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_topk_numpy(
+    corpus: DataFrame,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale variant: queries (small side) broadcast as a numpy matrix;
+    corpus streams through ``mapInPandas`` with one matmul per Arrow
+    batch; per-query global top-k finished with a window. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    spark = corpus.sparkSession
+    qm = query_matrix / np.linalg.norm(query_matrix, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qm.astype(np.float64), query_ids.astype(np.int64)))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q, qids = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+            sims = q @ cm.T  # (n_queries, batch)
+            kk = min(k, cm.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": pdf[id_col].to_numpy()[top.ravel()],
+                "cosine": np.take_along_axis(sims, top, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: random-hyperplane buckets with 1-bit multi-probe; exact
+    cosine within probed buckets only. Approximate — recall grows with
+    probes; the equi-join on bucket replaces the cross join, making the
+    shuffle O(matches) instead of O(|Q|x|C|)."""
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def bucket_expr(col_name: str) -> F.Column:
+        bits = [
+            (
+                _dot(
+                    F.col(col_name),
+                    F.array(*[F.lit(float(x)) for x in planes[p]]),
+                )
+                > 0
+            ).cast("long")
+            for p in range(n_planes)
+        ]
+        out = F.lit(0).cast("long")
+        for p, b in enumerate(bits):
+            out = out + b * (1 << p)
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        bucket_expr(vec_col).alias("bucket"),
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        bucket_expr(vec_col).alias("_b"),
+    )
+    # multi-probe: own bucket + each 1-bit flip
+    probes = F.array(
+        F.col("_b"), *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    q = q0.select(
+        "query_id", "_qv", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
