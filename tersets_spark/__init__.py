@@ -10,5 +10,6 @@ Public single-series API mirrors the reference's four entry points
 
 from .methods import Method, Config  # noqa: F401
 from .kernels.registry import compress, decompress  # noqa: F401
+from .kernels.extract import extract, rebuild  # noqa: F401
 
 __version__ = "0.1.0"

@@ -72,17 +72,22 @@ def _trailing_zeros(u: np.ndarray) -> np.ndarray:
 
 
 def _encode_xor_sections(xors: np.ndarray) -> list[bytes]:
-    """Shared Chimp section encoder: flags, 12-bit headers, payload."""
+    """Shared Chimp section encoder: flags, 12-bit (lz, tz) headers,
+    significant-bit payload. Storing the trailing-zero count in the
+    header (like the reference's trailing>6 marker-01 path,
+    chimp64.zig:47-122) keeps decimal-ish data compact: the payload is
+    ``xor >> tz`` with width 64 - lz - tz."""
     n = xors.size
     flags = (xors != 0).astype(np.uint64)
     parts = [pack_bits(flags, 1) if n else b""]
     changed = xors[xors != 0]
     if changed.size:
-        lz = np.minimum(_leading_zeros(changed), 63)
-        sbc = 64 - lz  # significant bits incl. trailing zeros
-        headers = (lz.astype(np.uint64) << np.uint64(6)) | (sbc - 1).astype(np.uint64)
+        lz = _leading_zeros(changed)  # <= 63 since xor != 0
+        tz = _trailing_zeros(changed)
+        headers = (lz.astype(np.uint64) << np.uint64(6)) | tz.astype(np.uint64)
         parts.append(pack_bits(headers, 12))
-        parts.append(pack_bits(changed, sbc))
+        sig = 64 - lz - tz  # in 1..64
+        parts.append(pack_bits(changed >> tz.astype(np.uint64), sig))
     return parts
 
 
@@ -95,10 +100,12 @@ def _decode_xor_sections(buf: np.ndarray, n: int) -> tuple[np.ndarray, int, np.n
     if m:
         headers = unpack_bits(buf[pos:], np.full(m, 12, dtype=np.int64))
         pos += (12 * m + 7) // 8
-        sbc = ((headers & np.uint64(0x3F)) + np.uint64(1)).astype(np.int64)
-        vals = unpack_bits(buf[pos:], sbc)
-        pos += (int(sbc.sum()) + 7) // 8
-        xors[flags] = vals
+        lz = (headers >> np.uint64(6)).astype(np.int64)
+        tz = (headers & np.uint64(0x3F)).astype(np.int64)
+        sig = 64 - lz - tz
+        vals = unpack_bits(buf[pos:], sig)
+        pos += (int(sig.sum()) + 7) // 8
+        xors[flags] = vals << tz.astype(np.uint64)
     return xors, pos, flags
 
 

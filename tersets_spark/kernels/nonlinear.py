@@ -1,0 +1,176 @@
+"""NonLinearApproximation — NeaTS-style multi-family segmentation
+(method 16).
+
+Reference semantics:
+/root/reference/src/lossy_compression/functional_approximation/non_linear_approximation.zig:61-
+— segment the series under an absolute error bound choosing, per
+segment, the best of five function families: linear, quadratic,
+exponential, sqrt, power. Requires abs_error_bound > 0.
+
+Engine divergence (documented): the reference solves the DP-optimal
+segmentation; the engine is *greedy longest-feasible* per segment
+(galloped), with per-family least-squares fits verified against the L∞
+bound — the error guarantee is identical, segment count may differ.
+
+Payload: u32 count | per segment (u8 family, u64 end_exclusive,
+3 x f64 params). Families: 0 linear a+b·x, 1 quadratic a+b·x+c·x²,
+2 exponential a·e^(b·x), 3 sqrt a+b·sqrt(x), 4 power a·(x+1)^b
+(x is the segment-local index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..methods import Method
+from .registry import register
+from .segmentation import finite_runs
+
+_FAMILIES = 5
+
+
+def _fit_eval(fam: int, x: np.ndarray, y: np.ndarray):
+    """Least-squares fit of one family; returns (params, yhat) or None
+    if the family is inapplicable."""
+    try:
+        if fam == 0:
+            A = np.vstack([np.ones_like(x), x]).T
+            p, *_ = np.linalg.lstsq(A, y, rcond=None)
+            return (p[0], p[1], 0.0), A @ p
+        if fam == 1:
+            A = np.vstack([np.ones_like(x), x, x * x]).T
+            p, *_ = np.linalg.lstsq(A, y, rcond=None)
+            return (p[0], p[1], p[2]), A @ p
+        if fam == 2:
+            if (y <= 0).any():
+                return None
+            ly = np.log(y)
+            A = np.vstack([np.ones_like(x), x]).T
+            p, *_ = np.linalg.lstsq(A, ly, rcond=None)
+            a, b = float(np.exp(p[0])), float(p[1])
+            return (a, b, 0.0), a * np.exp(b * x)
+        if fam == 3:
+            A = np.vstack([np.ones_like(x), np.sqrt(x)]).T
+            p, *_ = np.linalg.lstsq(A, y, rcond=None)
+            return (p[0], p[1], 0.0), A @ p
+        if fam == 4:
+            if (y <= 0).any():
+                return None
+            lx, ly = np.log(x + 1), np.log(y)
+            A = np.vstack([np.ones_like(lx), lx]).T
+            p, *_ = np.linalg.lstsq(A, ly, rcond=None)
+            a, b = float(np.exp(p[0])), float(p[1])
+            return (a, b, 0.0), a * np.power(x + 1, b)
+    except np.linalg.LinAlgError:
+        return None
+    return None
+
+
+def _eval(fam: int, params, x: np.ndarray) -> np.ndarray:
+    a, b, c = params
+    if fam == 0:
+        return a + b * x
+    if fam == 1:
+        return a + b * x + c * x * x
+    if fam == 2:
+        return a * np.exp(b * x)
+    if fam == 3:
+        return a + b * np.sqrt(x)
+    if fam == 4:
+        return a * np.power(x + 1, b)
+    raise ValueError(f"unknown family {fam}")
+
+
+def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
+    """Greedy: doubling probe for the longest prefix any family fits
+    within eps; returns (end_exclusive, family, params)."""
+    best = (s + 1, 0, (float(v[s]), 0.0, 0.0))
+    length = 2
+    last_good = None
+    while True:
+        hi = min(s + length, e)
+        x = np.arange(hi - s, dtype=np.float64)
+        y = v[s:hi]
+        good = None
+        for fam in range(_FAMILIES):
+            fit = _fit_eval(fam, x, y)
+            if fit is None:
+                continue
+            params, yhat = fit
+            if np.abs(y - yhat).max() <= eps:
+                good = (hi, fam, tuple(float(p) for p in params))
+                break
+        if good is None:
+            break
+        last_good = good
+        if hi == e:
+            break
+        length *= 2
+    if last_good is None:
+        return best
+    # refine between last good length and the failed doubling via bisect
+    lo_len = last_good[0] - s
+    hi_len = min(2 * lo_len, e - s)
+    while lo_len < hi_len:
+        mid = (lo_len + hi_len + 1) // 2
+        x = np.arange(mid, dtype=np.float64)
+        y = v[s : s + mid]
+        good = None
+        for fam in range(_FAMILIES):
+            fit = _fit_eval(fam, x, y)
+            if fit is None:
+                continue
+            params, yhat = fit
+            if np.abs(y - yhat).max() <= eps:
+                good = (s + mid, fam, tuple(float(p) for p in params))
+                break
+        if good is not None:
+            last_good = good
+            lo_len = mid
+        else:
+            hi_len = mid - 1
+    return last_good
+
+
+def compress(values: np.ndarray, config: dict | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    eps = float((config or {}).get("abs_error_bound", 0.0))
+    if eps <= 0:
+        raise ValueError("NonLinearApproximation requires abs_error_bound > 0")
+    segs: list[tuple[int, int, tuple]] = []  # (end_excl, family, params)
+    for rs, re, is_finite in finite_runs(v):
+        if not is_finite:
+            segs.append((rs + 1, 0, (float(v[rs]), 0.0, 0.0)))
+            continue
+        s = rs
+        while s < re:
+            end, fam, params = _longest_feasible(v, s, re, eps)
+            segs.append((end, fam, params))
+            s = end
+    out = bytearray(np.uint32(len(segs)).tobytes())
+    for end, fam, params in segs:
+        out += np.uint8(fam).tobytes()
+        out += np.uint64(end).tobytes()
+        out += np.asarray(params, dtype=np.float64).tobytes()
+    return bytes(out)
+
+
+def decompress(payload: bytes) -> np.ndarray:
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    n_seg = int(buf[:4].view(np.uint32)[0])
+    pos = 4
+    rec = 1 + 8 + 24
+    chunks = []
+    start = 0
+    for _ in range(n_seg):
+        fam = int(buf[pos])
+        end = int(buf[pos + 1 : pos + 9].view(np.uint64)[0])
+        params = tuple(buf[pos + 9 : pos + 33].view(np.float64))
+        pos += rec
+        x = np.arange(end - start, dtype=np.float64)
+        chunks.append(_eval(fam, params, x))
+        start = end
+    return np.concatenate(chunks) if chunks else np.empty(0)
+
+
+register(Method.NonLinearApproximation, compress, decompress)

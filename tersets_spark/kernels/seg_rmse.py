@@ -1,0 +1,173 @@
+"""RMSE-bounded segmentation: SlidingWindow (method 11) and BottomUp
+(method 12), Keogh ICDM'01.
+
+Reference semantics:
+/root/reference/src/lossy_compression/line_simplification/sliding_window.zig:54-100
+— grow the window while the RMSE of the segment (line connecting the
+raw endpoints) stays <= ``aggregate_error_bound``; emit
+``(start_value, end_value, end_index)`` triples.
+/root/reference/src/lossy_compression/line_simplification/bottom_up.zig:51-
+— start from 2-point segments, repeatedly merge the cheapest adjacent
+pair while its merged RMSE stays within the bound.
+
+Vectorization: with prefix sums of v, v^2 and v*t, the SSE of the
+endpoint-connecting line over any [s, e] is O(1):
+    SSE = Syy - 2m*Sty + m^2*Stt   (y centered at v_s, t at s)
+SlidingWindow evaluates whole candidate blocks at once (one numpy pass
+per gallop block); BottomUp uses a heap + doubly linked segment list
+with O(1) cost evaluation per candidate merge.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..methods import Method
+from .registry import register
+from .segmentation import finite_runs, first_violation
+from .swing_slide import _pack_triples, decompress_triples
+
+
+class _PrefixSums:
+    """O(1) endpoint-line SSE over any [s, e] via global prefix sums."""
+
+    def __init__(self, v: np.ndarray):
+        n = v.size
+        t = np.arange(n, dtype=np.float64)
+        self.cv = np.concatenate(([0.0], np.cumsum(v)))
+        self.cv2 = np.concatenate(([0.0], np.cumsum(v * v)))
+        self.cvt = np.concatenate(([0.0], np.cumsum(v * t)))
+        self.ct = np.concatenate(([0.0], np.cumsum(t)))
+        self.ct2 = np.concatenate(([0.0], np.cumsum(t * t)))
+        self.v = v
+
+    def sse(self, s: int, e: int) -> float:
+        """SSE of the line through (s, v[s]) and (e, v[e]) over [s, e]."""
+        if e <= s:
+            return 0.0
+        v, vs = self.v, float(self.v[s])
+        m = (float(v[e]) - vs) / (e - s)
+        n = e - s + 1
+        Sv = self.cv[e + 1] - self.cv[s]
+        Sv2 = self.cv2[e + 1] - self.cv2[s]
+        Svt = self.cvt[e + 1] - self.cvt[s]
+        St = self.ct[e + 1] - self.ct[s]
+        St2 = self.ct2[e + 1] - self.ct2[s]
+        # y_j = v_j - vs, x_j = t_j - s
+        Syy = Sv2 - 2 * vs * Sv + n * vs * vs
+        Sxy = (Svt - s * Sv) - vs * (St - s * n)
+        Sxx = St2 - 2 * s * St + n * s * s
+        sse = Syy - 2 * m * Sxy + m * m * Sxx
+        return max(sse, 0.0)
+
+    def rmse(self, s: int, e: int) -> float:
+        return float(np.sqrt(self.sse(s, e) / (e - s + 1)))
+
+
+def compress_sliding_window(values: np.ndarray, config: dict | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    cfg = config or {}
+    bound = float(cfg.get("aggregate_error_bound", 0.0))
+    if bound < 0 or not np.isfinite(bound):
+        raise ValueError("aggregate_error_bound must be finite and >= 0")
+    if str(cfg.get("aggregate_error_type", "rmse")).lower() != "rmse":
+        raise ValueError("only aggregate_error_type='rmse' is supported")
+    triples: list[tuple[float, float, int]] = []
+    for rs, re, is_finite in finite_runs(v):
+        if not is_finite:
+            triples.append((float(v[rs]), float(v[rs]), rs))
+            continue
+        ps = _PrefixSums(v)  # prefix sums are global; runs slice into them
+        s = rs
+        while s < re:
+            def scan(hi: int, s=s) -> int:
+                es = np.arange(s + 1, hi)
+                if es.size == 0:
+                    return -1
+                # vectorized rmse for all candidate ends in the block
+                m = (v[es] - v[s]) / (es - s)
+                n = es - s + 1
+                Syy = (ps.cv2[es + 1] - ps.cv2[s]) - 2 * v[s] * (ps.cv[es + 1] - ps.cv[s]) + n * v[s] ** 2
+                Sxy = (ps.cvt[es + 1] - ps.cvt[s]) - s * (ps.cv[es + 1] - ps.cv[s]) - v[s] * (
+                    (ps.ct[es + 1] - ps.ct[s]) - s * n
+                )
+                Sxx = (ps.ct2[es + 1] - ps.ct2[s]) - 2 * s * (ps.ct[es + 1] - ps.ct[s]) + n * s * s
+                sse = np.maximum(Syy - 2 * m * Sxy + m * m * Sxx, 0.0)
+                bad = np.sqrt(sse / n) > bound
+                idx = np.flatnonzero(bad)
+                return int(es[idx[0]]) if idx.size else -1
+
+            stop = first_violation(re, s + 1, scan)
+            end = min(stop, re) - 1 if stop < re else re - 1
+            end = max(end, s)
+            if end == s and s + 1 < re:
+                end = s + 1  # two points always have RMSE 0
+            triples.append((float(v[s]), float(v[end]), end))
+            s = end + 1
+    return _pack_triples(triples)
+
+
+def compress_bottom_up(values: np.ndarray, config: dict | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    cfg = config or {}
+    bound = float(cfg.get("aggregate_error_bound", 0.0))
+    if bound < 0 or not np.isfinite(bound):
+        raise ValueError("aggregate_error_bound must be finite and >= 0")
+    triples: list[tuple[float, float, int]] = []
+    for rs, re, is_finite in finite_runs(v):
+        if not is_finite:
+            triples.append((float(v[rs]), float(v[rs]), rs))
+            continue
+        ps = _PrefixSums(v)
+        # initial fine segments: adjacent pairs
+        starts = list(range(rs, re, 2))
+        segs = []  # (start, end) inclusive
+        for s in starts:
+            segs.append((s, min(s + 1, re - 1)))
+        if not segs:
+            continue
+        # doubly linked list over segment slots
+        nxt = list(range(1, len(segs))) + [-1]
+        prv = [-1] + list(range(len(segs) - 1))
+        alive = [True] * len(segs)
+
+        def merge_cost(i: int) -> float:
+            j = nxt[i]
+            if j < 0:
+                return np.inf
+            return ps.rmse(segs[i][0], segs[j][1])
+
+        heap = [(merge_cost(i), i, 0) for i in range(len(segs)) if nxt[i] >= 0]
+        heapq.heapify(heap)
+        version = [0] * len(segs)
+        while heap:
+            cost, i, ver = heapq.heappop(heap)
+            if not alive[i] or ver != version[i] or cost > bound:
+                if cost > bound and alive[i] and ver == version[i]:
+                    break
+                continue
+            j = nxt[i]
+            if j < 0:
+                continue
+            segs[i] = (segs[i][0], segs[j][1])
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prv[nxt[j]] = i
+            version[i] += 1
+            if nxt[i] >= 0:
+                heapq.heappush(heap, (merge_cost(i), i, version[i]))
+            p = prv[i]
+            if p >= 0:
+                version[p] += 1
+                heapq.heappush(heap, (merge_cost(p), p, version[p]))
+        for k, (s, e) in enumerate(segs):
+            if alive[k]:
+                triples.append((float(v[s]), float(v[e]), e))
+    return _pack_triples(triples)
+
+
+register(Method.SlidingWindow, compress_sliding_window, decompress_triples)
+register(Method.BottomUp, compress_bottom_up, decompress_triples)

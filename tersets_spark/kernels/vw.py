@@ -1,0 +1,103 @@
+"""Visvalingam-Whyatt line simplification (method 10).
+
+Reference semantics:
+/root/reference/src/lossy_compression/line_simplification/visvalingam_whyatt.zig:53-
+— repeatedly eliminate the point with the smallest effective triangle
+area (with its surviving neighbors) until the minimum area exceeds
+``area_under_curve_error``; emits the surviving (value, index) points.
+Triangle area: /root/reference/src/utilities/shared_functions.zig:389-398;
+the reference drives it with an IndexedPriorityQueue
+(/root/reference/src/utilities/indexed_priority_queue.zig) — here a
+lazy-deletion heapq + doubly linked list.
+
+Payload: (f64 value, u64 index) knot pairs; decompress interpolates
+(same knot decoder family as LTTB).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..methods import Method
+from .registry import register
+from .segmentation import finite_runs
+
+
+def _area(x1, y1, x2, y2, x3, y3) -> float:
+    return abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / 2
+
+
+def _simplify_run(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
+    """Surviving indices of the finite run [s, e)."""
+    n = e - s
+    if n <= 2:
+        return list(range(s, e))
+    idx = np.arange(s, e)
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    version = [0] * n
+
+    def area_of(i: int) -> float:
+        p, q = prv[i], nxt[i]
+        if p < 0 or q < 0:
+            return np.inf
+        return _area(idx[p], v[idx[p]], idx[i], v[idx[i]], idx[q], v[idx[q]])
+
+    heap = [(area_of(i), i, 0) for i in range(1, n - 1)]
+    heapq.heapify(heap)
+    while heap:
+        a, i, ver = heapq.heappop(heap)
+        if not alive[i] or ver != version[i]:
+            continue
+        if a > bound:
+            break
+        alive[i] = False
+        p, q = prv[i], nxt[i]
+        nxt[p], prv[q] = q, p
+        for nb in (p, q):
+            if 0 < nb < n - 1 and alive[nb]:
+                version[nb] += 1
+                heapq.heappush(heap, (area_of(nb), nb, version[nb]))
+    return [int(idx[i]) for i in range(n) if alive[i]]
+
+
+def compress(values: np.ndarray, config: dict | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    bound = float((config or {}).get("area_under_curve_error", 0.0))
+    if bound < 0 or not np.isfinite(bound):
+        raise ValueError("area_under_curve_error must be finite and >= 0")
+    keep: list[int] = []
+    for rs, re, is_finite in finite_runs(v):
+        if not is_finite:
+            keep.append(rs)
+        else:
+            keep.extend(_simplify_run(v, rs, re, bound))
+    out = np.empty(2 * len(keep), dtype=np.uint64)
+    ki = np.asarray(keep, dtype=np.int64)
+    out[0::2] = v[ki].view(np.uint64)
+    out[1::2] = ki.astype(np.uint64)
+    return out.tobytes()
+
+
+def decompress(payload: bytes) -> np.ndarray:
+    if len(payload) % 16 != 0:
+        raise ValueError("corrupt VW payload")
+    raw = np.frombuffer(payload, dtype=np.uint64)
+    kv = raw[0::2].view(np.float64)
+    ki = raw[1::2].astype(np.int64)
+    n = int(ki[-1]) + 1 if ki.size else 0
+    out = np.empty(n, dtype=np.float64)
+    for k in range(ki.size):
+        i = ki[k]
+        out[i] = kv[k]
+        if k + 1 < ki.size and ki[k + 1] > i + 1:
+            j = ki[k + 1]
+            t = np.arange(1, j - i, dtype=np.float64)
+            out[i + 1 : j] = kv[k] + (kv[k + 1] - kv[k]) * t / (j - i)
+    return out
+
+
+register(Method.VisvalingamWhyatt, compress, decompress)

@@ -1,0 +1,115 @@
+"""Long-tail catalog: RMSE segmentation, histograms, VW, ABC, BUFF,
+Macaque, NeaTS — error/structure properties per method family."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tersets_spark import Method, compress, decompress
+
+
+def _families(seed: int = 7) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    n = 140
+    i = np.arange(n, dtype=np.float64)
+    return {
+        "linear": 3.0 + 0.7 * i + rng.normal(0, 0.05, n),
+        "sinusoidal": 50 * np.sin(i * 0.2) + rng.normal(0, 0.05, n),
+        "exponential": np.exp(i * 0.04) + rng.normal(0, 0.01, n),
+        "bounded-random": rng.uniform(-100, 100, n),
+        "constant-runs": np.repeat(rng.integers(0, 20, 10), 14).astype(np.float64),
+        "decimals": np.round(rng.normal(50, 10, n), 3),
+    }
+
+
+@pytest.mark.parametrize("method", [Method.MacaqueS, Method.MacaqueV], ids=lambda m: m.name)
+@pytest.mark.parametrize("fam", sorted(_families()))
+def test_macaque_abs_bound(method, fam):
+    v = _families()[fam]
+    out = decompress(compress(v, method, {"abs_error_bound": 0.5}))
+    assert out.size == v.size
+    assert np.abs(v - out).max() <= 0.5
+
+
+@pytest.mark.parametrize("fam", sorted(_families()))
+def test_neats_abs_bound(fam):
+    v = _families()[fam]
+    out = decompress(compress(v, Method.NonLinearApproximation, {"abs_error_bound": 0.5}))
+    assert out.size == v.size
+    assert np.abs(v - out).max() <= 0.5 + 1e-9
+
+
+@pytest.mark.parametrize("fam", sorted(_families()))
+def test_abc_abs_bound(fam):
+    v = _families()[fam]
+    out = decompress(compress(v, Method.ABCLinearApproximation, {"abs_error_bound": 0.5}))
+    assert np.abs(v - out).max() <= 0.5
+
+
+@pytest.mark.parametrize("method", [Method.SlidingWindow, Method.BottomUp], ids=lambda m: m.name)
+@pytest.mark.parametrize("fam", sorted(_families()))
+def test_rmse_bound_per_segment(method, fam):
+    """The bound constrains per-segment RMSE of the endpoint line; check
+    it on the reconstructed segments (global RMSE must also hold)."""
+    v = _families()[fam]
+    bound = 0.5
+    cfg = {"aggregate_error_type": "rmse", "aggregate_error_bound": bound}
+    blob = compress(v, method, cfg)
+    out = decompress(blob)
+    assert out.size == v.size
+    raw = np.frombuffer(blob[:-1], dtype=np.uint64)
+    ends = raw[2::3].astype(np.int64)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    for s, e in zip(starts, ends):
+        seg_err = v[s : e + 1] - out[s : e + 1]
+        rmse = float(np.sqrt(np.mean(seg_err**2)))
+        assert rmse <= bound + 1e-9, (method.name, fam, s, e, rmse)
+
+
+@pytest.mark.parametrize(
+    "method", [Method.PiecewiseConstantHistogram, Method.PiecewiseLinearHistogram],
+    ids=lambda m: m.name,
+)
+def test_histogram_bucket_count(method):
+    v = _families()["bounded-random"]
+    k = 12
+    blob = compress(v, method, {"histogram_bins_number": k})
+    out = decompress(blob)
+    assert out.size == v.size
+    rec = 16 if method == Method.PiecewiseConstantHistogram else 24
+    assert (len(blob) - 1) // rec == k
+
+
+def test_histogram_requires_bins():
+    with pytest.raises(ValueError):
+        compress(np.arange(10.0), Method.PiecewiseConstantHistogram, {"histogram_bins_number": 1})
+
+
+def test_vw_area_bound_keeps_endpoints():
+    v = _families()["sinusoidal"]
+    blob = compress(v, Method.VisvalingamWhyatt, {"area_under_curve_error": 5.0})
+    out = decompress(blob)
+    assert out.size == v.size
+    assert out[0] == v[0] and out[-1] == v[-1]
+    assert len(blob) < v.nbytes  # actually simplified
+
+
+def test_buff_precision():
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 100, 200)
+    for d in (1, 3, 6):
+        out = decompress(compress(v, Method.BitPackedBUFF, {"decimal_precision": d}))
+        assert np.abs(v - out).max() <= 0.5 * 10.0 ** (-d) + 1e-12
+    # escape path: non-finite and huge values bit-exact
+    v2 = np.array([1.5, np.nan, np.inf, -np.inf, 2**33 * 1.0, -0.0, 7.25])
+    out2 = decompress(compress(v2, Method.BitPackedBUFF, {"decimal_precision": 2}))
+    mask = np.isfinite(v2) & (np.abs(v2) < 2**32)
+    assert np.array_equal(v2[~mask].view(np.uint64), out2[~mask].view(np.uint64))
+    assert np.abs(v2[mask] - out2[mask]).max() <= 0.005
+
+
+def test_every_method_code_implemented():
+    from tersets_spark.kernels.registry import KERNELS
+
+    assert {int(m) for m in KERNELS} == set(range(27))
