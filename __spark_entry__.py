@@ -263,7 +263,7 @@ def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16)
+    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16).persist()
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 

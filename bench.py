@@ -31,8 +31,11 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from tersets_spark.methods import Method
-    from tersets_spark.operators.compress import compress_blocks, roundtrip_verify
-    from tersets_spark.operators.rollup import reaggregate, rollup_tokens_base
+    from tersets_spark.operators.pipeline import (
+        base_rollup_from_fused,
+        fused_compress_rollup,
+    )
+    from tersets_spark.operators.rollup import reaggregate
     from tersets_spark.session import get_spark
     from tersets_spark.sources.synth import synth_tokens
 
@@ -40,23 +43,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # ---- flagship: compress + rollup + verify over synthetic tokens ----
+    # ---- flagship: fused compress + verify + tier rollups (1m/1h/1d)
+    # over the deterministic synthetic token table ----
     n_docs = max(int(30000 * sf), 200)
     toks = synth_tokens(spark, n_docs).persist()
     total_tokens = toks.agg(F.sum("n_tok")).collect()[0][0]
 
     t0 = time.time()
-    rt = roundtrip_verify(toks, Method.BitPackedDeltaEncoding)
-    agg = rt.agg(
+    fused = fused_compress_rollup(toks, Method.BitPackedDeltaEncoding).persist()
+    agg = fused.agg(
         F.min(F.col("roundtrip_ok").cast("int")).alias("ok"),
-        F.sum("compressed_bytes").alias("cb"),
-        F.sum("raw_bytes").alias("rb"),
+        F.sum("bytes").alias("cb"),
+        (F.sum("n_values") * 4).alias("rb"),
     ).collect()[0]
-    base = rollup_tokens_base(toks, 60)
-    h = reaggregate(base.select("doc_id", "bucket", "vmin", "vmax", "vsum", "vcount"), 60)
+    base = base_rollup_from_fused(fused)
+    h = reaggregate(base, 60)
     d = reaggregate(h, 24)
     n_roll = base.count() + h.count() + d.count()
     flagship_sec = time.time() - t0
+    fused.unpersist()
     timings["flagship_compress_rollup"] = round(flagship_sec, 3)
     if not agg["ok"]:
         print(json.dumps({"metric": "tokens_per_sec", "value": 0.0, "unit": "sec", "error": "roundtrip failed", "sf": sf}))

@@ -59,14 +59,19 @@ def pack_bits(values: np.ndarray, widths) -> bytes:
 
     ``values`` must be unsigned (uint64); only the low ``widths[i]`` bits
     of each value are stored. ``widths`` may be a scalar or an array;
-    zero widths are legal and contribute no bits.
+    zero widths are legal and contribute no bits. Fixed (scalar) widths
+    take a 2-D broadcast fast path.
     """
     values = np.ascontiguousarray(values, dtype=np.uint64)
     n = values.shape[0]
     if np.isscalar(widths) or getattr(widths, "ndim", 1) == 0:
-        widths = np.full(n, int(widths), dtype=np.int64)
-    else:
-        widths = np.asarray(widths, dtype=np.int64)
+        w = int(widths)
+        if n == 0 or w == 0:
+            return b""
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        bits = ((values[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bits.ravel()).tobytes()
+    widths = np.asarray(widths, dtype=np.int64)
     if n == 0 or widths.sum() == 0:
         return b""
     intra = segment_intra_indices(widths)
@@ -88,6 +93,16 @@ def unpack_bits(buf: bytes | np.ndarray, widths, bit_offset: int = 0) -> np.ndar
         raise ValueError("unpack_bits needs an explicit widths array")
     widths = np.asarray(widths, dtype=np.int64)
     n = widths.shape[0]
+    if n and widths[0] > 0 and (widths == widths[0]).all():
+        # fixed-width fast path: unpack to an (n, w) matrix, weighted sum
+        w = int(widths[0])
+        raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+        total = n * w
+        nbytes_needed = (bit_offset + total + 7) // 8
+        bits = np.unpackbits(raw[:nbytes_needed])[bit_offset : bit_offset + total]
+        m = bits.astype(np.uint64).reshape(n, w)
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        return (m << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     out = np.zeros(n, dtype=np.uint64)
     total = int(widths.sum())
     if n == 0 or total == 0:

@@ -154,7 +154,8 @@ def roundtrip_verify(
     ``roundtrip_ok`` compares the reassembled array element-wise against
     the original — the engine form of the reference's bit-identical gate
     (/root/reference/src/tersets.zig:887-888)."""
-    blocks = compress_blocks(df, method, config, chunk)
+    # persisted: both the size aggregate and the decode branch consume it
+    blocks = compress_blocks(df, method, config, chunk).persist()
     sizes = blocks.groupBy("doc_id").agg(
         F.sum("bytes").alias("compressed_bytes"),
         F.sum("n_values").alias("n_decoded"),

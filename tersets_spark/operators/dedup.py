@@ -68,6 +68,47 @@ def minhash_signature(shingle_col: str, n_hashes: int = 32) -> list[F.Column]:
     ]
 
 
+_HASH_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
+_ROLL_BASE = np.uint64(1099511628211)  # FNV prime
+
+
+def _band_buckets_batch(
+    texts: pd.Series, k_shingle: int, n_hashes: int, bands: int, seed: int
+) -> pd.Series:
+    """Vectorized MinHash band buckets per document: rolling-hash the
+    character k-shingles (one pass over the codepoints), then n_hashes
+    universal hashes a_j*h+b_j with a column-wise min, then band-combine.
+    O(len + n_hashes*shingles) numpy per doc — no per-shingle Python."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, n_hashes, dtype=np.uint64)
+    rows = n_hashes // bands
+    powers = _ROLL_BASE ** np.arange(k_shingle, dtype=np.uint64)
+    out = []
+    with np.errstate(over="ignore"):
+        for t in texts:
+            cps = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            n = cps.size
+            k = min(k_shingle, max(n, 1))
+            if n == 0:
+                h = np.zeros(1, dtype=np.uint64)
+            else:
+                m = n - k + 1
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(k):  # k is tiny (5); inner ops vectorized
+                    h += cps[j : j + m] * powers[k - 1 - j]
+            # n_hashes x shingles universal hashing, min per hash row
+            sig = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            bb = sig[: rows * bands].reshape(bands, rows)
+            buckets = np.zeros(bands, dtype=np.uint64)
+            for r in range(rows):
+                buckets = buckets * np.uint64(1000003) + bb[:, r]
+            out.append(buckets.astype(np.int64))
+    return pd.Series(out)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -75,32 +116,23 @@ def minhash_lsh_candidates(
     k_shingle: int = 5,
     n_hashes: int = 32,
     bands: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH:
-    (id_a, id_b) with id_a < id_b, deduplicated across bands."""
-    rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        shingles(text_col, k_shingle).alias("_sh"),
-    ).select("_id", "_text", "_sh", *minhash_signature("_sh", n_hashes))
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("_id", *band_cols).select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    (id_a, id_b) with id_a < id_b, deduplicated across bands.
+
+    Signatures come from one vectorized pandas UDF pass; the band-bucket
+    self-join is the only shuffle, keyed on (band, bucket) — uniform key
+    space, candidate volume near-linear in true duplicates."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_buckets(texts: pd.Series) -> pd.Series:
+        return _band_buckets_batch(texts, k_shingle, n_hashes, bands, seed)
+
+    banded = (
+        df.select(F.col(id_col).alias("_id"), band_buckets(F.col(text_col)).alias("_bb"))
+        .select("_id", F.posexplode("_bb").alias("band", "bucket"))
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -131,6 +163,13 @@ def ngram_jaccard_pairs(
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
+        # safe prune before the set ops: jaccard >= t requires the
+        # smaller set to be at least t of the larger (|A∩B| <= min,
+        # |A∪B| >= max)
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1,0 +1,86 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in the sandbox, so the N-vs-4N-executor
+criterion is evidenced by running the identical flagship job at two
+parallelism levels (local[8] vs local[32]) on the same input and
+reporting throughput at both plus efficiency = (T_4N / T_N) / 4.
+Each level runs in a fresh subprocess (one JVM per level, no warm-cache
+bleed); the flagship measurement is bench.py's compress+rollup+verify.
+
+Usage: python tools/bench_scaling.py [sf_dir] [--repeat N]
+Writes/updates BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repeat = 2
+    levels = {8: [], 32: []}
+    for _ in range(repeat):
+        for cpus in (8, 32):
+            r = run_level(cpus, sf_dir)
+            levels[cpus].append(r)
+            print(f"local[{cpus}]: {r['value']} tokens/sec "
+                  f"(flagship {r['queries']['flagship_compress_rollup']}s)")
+    best8 = max(r["value"] for r in levels[8])
+    best32 = max(r["value"] for r in levels[32])
+    eff = (best32 / best8) / 4
+    detail = levels[32][-1]
+    report = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Protocol per BASELINE.md: the identical flagship job (deterministic
+synthetic token table -> BitPackedDeltaEncoding compress -> lossless
+round-trip verify -> 1m/1h/1d tier rollups) runs at two parallelism
+levels in fresh JVMs on the same input; efficiency = (T_4N/T_N)/4.
+
+| level | tokens/sec (best of {repeat}) | flagship wall (s) |
+|---|---|---|
+| local[8]  (N)  | {best8:,.0f} | {min(r['queries']['flagship_compress_rollup'] for r in levels[8])} |
+| local[32] (4N) | {best32:,.0f} | {min(r['queries']['flagship_compress_rollup'] for r in levels[32])} |
+
+**Scaling efficiency: {eff:.3f}** (target ≥ 0.8 per BASELINE.json)
+
+Input: {detail['detail']['n_docs']} docs, {detail['detail']['total_tokens']:,} tokens
+(sf={detail['sf']}); compress ratio {detail['detail']['compress_ratio']};
+rollup rows {detail['detail']['rollup_rows']:,}.
+
+Caveat: local[N] shares one JVM and host memory bus, so superlinear or
+sublinear artifacts vs a real cluster are possible; the partition
+strategy (input splits > cores, per-bucket work units, no driver-side
+loops in the hot path) is what transfers to N vs 4N executors.
+
+Secondary per-query timings at local[32] (seconds):
+
+```json
+{json.dumps(detail['queries'], indent=2)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(report)
+    print(f"\nefficiency={eff:.3f} -> BENCH.md written")
+
+
+if __name__ == "__main__":
+    main()
