@@ -107,6 +107,27 @@ _ROUNDTRIP_ORACLE = """
 """
 
 
+def _bound_query(method: Method, config: dict):
+    """Lossy-catalog driver check: every char-token series reconstructs
+    within the configured error bound (reference gate
+    tester.zig:508-533), SQL-oracle-checkable as an all-true column."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tersets_spark.operators.compress import error_bound_verify
+
+        return error_bound_verify(_char_tokens(spark, sf_dir), method, config)
+
+    return q
+
+
+_BOUND_ORACLE = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(length(text) AS BIGINT) AS n_tok,
+           true AS within_bound
+    FROM documents
+"""
+
+
 def _tier_rollup_tokens_query(width: int, tokenizer):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tersets_spark.operators.rollup import rollup_tokens_base
@@ -385,6 +406,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary": _compression_summary_query,
         "simhash_candidates": _simhash_query,
         "lsh_ann_topk": _lsh_ann_query,
+        # lossy-catalog error-bound gates over char-token series
+        "bound_pmc_midrange": _bound_query(
+            Method.PoorMansCompressionMidrange, {"abs_error_bound": 2.0}
+        ),
+        "bound_pmc_mean": _bound_query(
+            Method.PoorMansCompressionMean, {"abs_error_bound": 2.0}
+        ),
+        "bound_swing": _bound_query(Method.SwingFilter, {"abs_error_bound": 2.0}),
+        "bound_slide": _bound_query(Method.SlideFilter, {"abs_error_bound": 2.0}),
+        "bound_sim_piece": _bound_query(Method.SimPiece, {"abs_error_bound": 2.0}),
+        "bound_mix_piece": _bound_query(Method.MixPiece, {"abs_error_bound": 2.0}),
+        "bound_quantization": _bound_query(
+            Method.BitPackedQuantization, {"abs_error_bound": 2.0}
+        ),
+        "bound_serf_qt": _bound_query(Method.SerfQT, {"abs_error_bound": 2.0}),
+        "bound_macaque_s": _bound_query(Method.MacaqueS, {"abs_error_bound": 2.0}),
+        "bound_abc": _bound_query(
+            Method.ABCLinearApproximation, {"abs_error_bound": 2.0}
+        ),
+        "bound_lttb": _bound_query(
+            Method.LargestTriangleThreeBuckets, {"target_point_count": 40}
+        ),
+        "bound_neats": _bound_query(
+            Method.NonLinearApproximation, {"abs_error_bound": 4.0}
+        ),
     }
 
 
@@ -404,6 +450,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_dups": _MINHASH_JACCARD_ORACLE,
         "textstats": _TEXTSTATS_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
+        "bound_pmc_midrange": _BOUND_ORACLE,
+        "bound_pmc_mean": _BOUND_ORACLE,
+        "bound_swing": _BOUND_ORACLE,
+        "bound_slide": _BOUND_ORACLE,
+        "bound_sim_piece": _BOUND_ORACLE,
+        "bound_mix_piece": _BOUND_ORACLE,
+        "bound_quantization": _BOUND_ORACLE,
+        "bound_serf_qt": _BOUND_ORACLE,
+        "bound_macaque_s": _BOUND_ORACLE,
+        "bound_abc": _BOUND_ORACLE,
+        "bound_lttb": _BOUND_ORACLE,
+        "bound_neats": _BOUND_ORACLE,
         # compression_summary / simhash_candidates / lsh_ann_topk:
         # engine-specific or approximate-by-design -> rows-only check
     }

@@ -142,6 +142,49 @@ def reassemble(decoded: DataFrame) -> DataFrame:
     )
 
 
+def error_bound_verify(
+    df: DataFrame,
+    method: Method,
+    config: dict | None = None,
+) -> DataFrame:
+    """Per-doc lossy invariant (reference gate
+    /root/reference/src/tester.zig:508-533): compress+decompress each
+    whole series in-kernel and check every point is within
+    ``abs_error_bound`` (length equality for non-ε methods). Returns
+    ``(doc_id, n_tok, within_bound)``."""
+    method_code = int(method)
+    cfg = dict(config or {})
+    eps = float(cfg.get("abs_error_bound", 0.0))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = Method(method_code)
+        for pdf in batches:
+            oks = []
+            for toks in pdf["tokens"]:
+                v = np.asarray(toks, dtype=np.float64)
+                out = registry.decompress(registry.compress(v, m, cfg))
+                if out.size != v.size:
+                    oks.append(False)
+                    continue
+                if eps > 0 and v.size:
+                    finite = np.isfinite(v)
+                    err = np.abs(v[finite] - out[finite])
+                    oks.append(bool(err.size == 0 or err.max() <= eps + 1e-9))
+                else:
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pdf["n_tok"].astype("int64"),
+                    "within_bound": oks,
+                }
+            )
+
+    return df.select("doc_id", "tokens", "n_tok").mapInPandas(
+        verify, schema="doc_id string, n_tok long, within_bound boolean"
+    )
+
+
 def roundtrip_verify(
     df: DataFrame,
     method: Method = Method.BitPackedDeltaEncoding,

@@ -138,6 +138,61 @@ def base_rollup_from_fused(fused: DataFrame) -> DataFrame:
     )
 
 
+def tier_rollups_fused(
+    fused: DataFrame, widths: tuple[int, int, int] = (60, 3600, 86400)
+) -> DataFrame:
+    """All three tiers in ONE shuffle via ROLLUP grouping sets.
+
+    The chunk partials explode to base buckets, then
+    ``rollup(doc_id, b_coarse, b_mid, b_fine)`` aggregates every tier
+    level in a single exchange (map-side partial agg collapses each
+    grouping set before the shuffle). Output: ``tier`` in
+    {'1m','1h','1d'} + (doc_id, bucket, vmin, vmax, vsum, vcount);
+    the per-doc and grand-total grouping levels are filtered out."""
+    w1, w2, w3 = widths
+    exploded = fused.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("bmin", "bmax", "bsum", "bcount")).alias("i", "z"),
+        "bucket0",
+    ).select(
+        "doc_id",
+        (F.col("bucket0") + F.col("i")).alias("b_fine"),
+        F.col("z.bmin").alias("pmin"),
+        F.col("z.bmax").alias("pmax"),
+        F.col("z.bsum").alias("psum"),
+        F.col("z.bcount").alias("pcount"),
+    )
+    lv = exploded.withColumn("b_mid", F.floor(F.col("b_fine") / (w2 // w1))).withColumn(
+        "b_coarse", F.floor(F.col("b_fine") / (w3 // w1))
+    )
+    agged = (
+        lv.rollup("doc_id", "b_coarse", "b_mid", "b_fine")
+        .agg(
+            F.min("pmin").alias("vmin"),
+            F.max("pmax").alias("vmax"),
+            F.sum("psum").alias("vsum"),
+            F.sum("pcount").alias("vcount"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    return agged.filter(F.col("gid") <= 3).select(
+        F.when(F.col("gid") == 0, F.lit("1m"))
+        .when(F.col("gid") == 1, F.lit("1h"))
+        .otherwise(F.lit("1d"))
+        .alias("tier"),
+        "doc_id",
+        F.coalesce(
+            F.when(F.col("gid") == 0, F.col("b_fine")),
+            F.when(F.col("gid") == 1, F.col("b_mid")),
+            F.col("b_coarse"),
+        ).alias("bucket"),
+        "vmin",
+        "vmax",
+        "vsum",
+        "vcount",
+    )
+
+
 def blocks_from_fused(fused: DataFrame, method: Method) -> DataFrame:
     return fused.select(
         "doc_id",

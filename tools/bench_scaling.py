@@ -21,14 +21,27 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: scaling-run corpus: big enough that kernel compute dominates fixed
+#: overheads (~100M tokens ≈ 45 core-seconds at the measured per-core
+#: kernel rate), the regime the north_rule's N-vs-4N criterion assumes
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "26000"))
+
+
 def run_level(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_DOCS=str(SCALING_DOCS),
+        SPARK_GRAFT_BENCH_REPEAT="2",
+        SPARK_GRAFT_BENCH_FLAGSHIP_ONLY="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
