@@ -195,6 +195,107 @@ _GAPFILL_LOCF_ORACLE = """
 """
 
 
+def _gapfill_linear_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.operators.gapfill import gapfill
+    from tersets_spark.operators.rollup import rollup_events
+
+    daily = rollup_events(_events(spark, sf_dir), tier="1d").select(
+        "user_id", "bucket", "vmean"
+    )
+    dense = gapfill(daily, ["user_id"], 86400, ["vmean"], method="linear")
+    # floor-truncation, not round: interpolation at frac=1/2 lands on
+    # exact .xxxx5 boundaries where engines' round-half semantics differ
+    return dense.select(
+        "user_id",
+        "bucket",
+        (F.floor(F.col("vmean") * 10000) / 10000).alias("vmean"),
+        "gap_filled",
+    )
+
+
+_GAPFILL_LINEAR_ORACLE = """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+               avg(value) AS vmean
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS bucket
+        FROM (SELECT user_id, min(bucket) lo, max(bucket) hi FROM daily GROUP BY 1)
+    ), dense AS (
+        SELECT s.user_id, s.bucket, h.vmean, h.vmean IS NULL AS gap_filled,
+               last_value(CASE WHEN h.vmean IS NOT NULL THEN s.bucket END IGNORE NULLS)
+                   OVER w_back AS prev_b,
+               last_value(h.vmean IGNORE NULLS) OVER w_back AS prev_v,
+               first_value(CASE WHEN h.vmean IS NOT NULL THEN s.bucket END IGNORE NULLS)
+                   OVER w_fwd AS next_b,
+               first_value(h.vmean IGNORE NULLS) OVER w_fwd AS next_v
+        FROM spine s LEFT JOIN daily h USING (user_id, bucket)
+        WINDOW w_back AS (PARTITION BY s.user_id ORDER BY s.bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_fwd AS (PARTITION BY s.user_id ORDER BY s.bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           floor((CASE WHEN NOT gap_filled THEN vmean
+                  ELSE prev_v + (next_v - prev_v)
+                       * ((bucket - prev_b) / (next_b - prev_b)) END) * 10000)
+               / 10000 AS vmean,
+           gap_filled
+    FROM dense
+"""
+
+
+def _retention_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention aging invariant: the newest R positions stay raw, the
+    older prefix ages out — sizes are SQL-derivable."""
+    from tersets_spark.operators.retention import split_aged
+
+    toks = _char_tokens(spark, sf_dir)
+    kept, aged = split_aged(toks, 100)
+    k = kept.select("doc_id", F.size("tokens").alias("n_kept"))
+    a = aged.select("doc_id", F.size("tokens").alias("n_aged"))
+    return k.join(a, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.coalesce("n_aged", F.lit(0)).cast("long").alias("n_aged"),
+    )
+
+
+_RETENTION_SPLIT_ORACLE = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(least(length(text), 100) AS BIGINT) AS n_kept,
+           CAST(greatest(length(text) - 100, 0) AS BIGINT) AS n_aged
+    FROM documents
+"""
+
+
+def _rollup_events_by_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tersets_spark.operators.rollup import rollup_events
+
+    out = rollup_events(
+        _events(spark, sf_dir), tier="1d", key_cols=("user_id", "event_type")
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "bucket",
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round("vmean", 4).alias("vmean"),
+        "vcount",
+    )
+
+
+_ROLLUP_BY_TYPE_ORACLE = """
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+           round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
+           round(avg(value), 4) AS vmean, count(value) AS vcount
+    FROM events GROUP BY 1, 2, 3
+"""
+
+
 def _dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -393,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events_1h": _rollup_events_query("1h"),
         "rollup_events_1d": _rollup_events_query("1d"),
         "gapfill_locf_1h": _gapfill_locf_query,
+        "gapfill_linear_1d": _gapfill_linear_query,
+        "retention_split": _retention_split_query,
+        "rollup_events_by_type_1d": _rollup_events_by_type_query,
         "roundtrip_delta": _roundtrip_query(Method.BitPackedDeltaEncoding),
         "roundtrip_chimp64": _roundtrip_query(Method.Chimp64),
         "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
@@ -440,6 +544,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events_1h": _rollup_events_oracle(3600),
         "rollup_events_1d": _rollup_events_oracle(86400),
         "gapfill_locf_1h": _GAPFILL_LOCF_ORACLE,
+        "gapfill_linear_1d": _GAPFILL_LINEAR_ORACLE,
+        "retention_split": _RETENTION_SPLIT_ORACLE,
+        "rollup_events_by_type_1d": _ROLLUP_BY_TYPE_ORACLE,
         "roundtrip_delta": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp64": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp128": _ROUNDTRIP_ORACLE,

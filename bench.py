@@ -32,8 +32,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from tersets_spark.methods import Method
     from tersets_spark.operators.pipeline import (
+        flagship_summary,
         fused_compress_rollup,
-        tier_rollups_fused,
     )
     from tersets_spark.session import get_spark
     from tersets_spark.sources.synth import synth_tokens
@@ -47,7 +47,8 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0")) or max(
         int(30000 * sf), 200
     )
-    toks = synth_tokens(spark, n_docs).persist()
+    parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "0")) or None
+    toks = synth_tokens(spark, n_docs, partitions=parts).persist()
     total_tokens = toks.agg(F.sum("n_tok")).collect()[0][0]
 
     # warmup: spin up the Python workers / JIT outside the timed region
@@ -56,19 +57,19 @@ def main() -> None:
         F.count("*")
     ).collect()
 
-    def run_flagship() -> tuple[float, object, int]:
+    def run_flagship() -> tuple[float, dict, int]:
         t0 = time.time()
-        fused = fused_compress_rollup(toks, Method.BitPackedDeltaEncoding).persist()
-        agg = fused.agg(
-            F.min(F.col("roundtrip_ok").cast("int")).alias("ok"),
-            F.sum("bytes").alias("cb"),
-            (F.sum("n_values") * 4).alias("rb"),
-        ).collect()[0]
-        # all three tiers in one shuffle (ROLLUP grouping sets)
-        tier_counts = tier_rollups_fused(fused).groupBy("tier").count().collect()
-        n_roll = sum(r["count"] for r in tier_counts)
+        fused = fused_compress_rollup(toks, Method.BitPackedDeltaEncoding)
+        # ONE action: tier counts + verify verdict + compressed bytes
+        res = {r["gid"]: r for r in flagship_summary(fused).collect()}
         wall = time.time() - t0
-        fused.unpersist()
+        total = res[15]
+        agg = {
+            "ok": total["all_ok"],
+            "cb": total["bytes"],
+            "rb": total["n_values"] * 4,
+        }
+        n_roll = sum(res[g]["rows"] for g in (0, 1, 3) if g in res)
         return wall, agg, n_roll
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))

@@ -68,9 +68,13 @@ def pack_bits(values: np.ndarray, widths) -> bytes:
         w = int(widths)
         if n == 0 or w == 0:
             return b""
-        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
-        bits = ((values[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-        return np.packbits(bits.ravel()).tobytes()
+        # byte-level fast path: explode to 1 byte/bit (not 8) via
+        # unpackbits on the value bytes, reorder to MSB-first, packbits.
+        nbytes = (w + 7) // 8
+        lo = values.astype("<u8").view(np.uint8).reshape(n, 8)[:, :nbytes]
+        bits_le = np.unpackbits(lo, axis=1, bitorder="little")  # bit k = (v>>k)&1
+        msb_first = bits_le[:, w - 1 :: -1]
+        return np.packbits(msb_first.reshape(-1)).tobytes()
     widths = np.asarray(widths, dtype=np.int64)
     if n == 0 or widths.sum() == 0:
         return b""
@@ -94,15 +98,18 @@ def unpack_bits(buf: bytes | np.ndarray, widths, bit_offset: int = 0) -> np.ndar
     widths = np.asarray(widths, dtype=np.int64)
     n = widths.shape[0]
     if n and widths[0] > 0 and (widths == widths[0]).all():
-        # fixed-width fast path: unpack to an (n, w) matrix, weighted sum
+        # fixed-width fast path: byte-level bit matrix, reorder to
+        # LSB-first, packbits back into little-endian value bytes
         w = int(widths[0])
         raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
         total = n * w
         nbytes_needed = (bit_offset + total + 7) // 8
         bits = np.unpackbits(raw[:nbytes_needed])[bit_offset : bit_offset + total]
-        m = bits.astype(np.uint64).reshape(n, w)
-        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
-        return (m << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        msb = bits.reshape(n, w)
+        le = np.zeros((n, 64), dtype=np.uint8)
+        le[:, :w] = msb[:, ::-1]  # bit k of value = column k
+        packed = np.packbits(le, axis=1, bitorder="little")  # (n, 8) LE bytes
+        return packed.reshape(n, 8).copy().view("<u8").ravel().astype(np.uint64)
     out = np.zeros(n, dtype=np.uint64)
     total = int(widths.sum())
     if n == 0 or total == 0:

@@ -33,7 +33,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bitstream import pack_bits, unpack_bits, pack_uint_stream, unpack_uint_stream
+from .bitstream import (
+    bit_length,
+    pack_bits,
+    segment_intra_indices,
+    unpack_bits,
+)
 
 _MAX_VALUE = 1e15
 _SCALES = 10.0 ** np.arange(0, 15)
@@ -68,16 +73,36 @@ def _find_scale(v: np.ndarray) -> tuple[float, np.ndarray]:
 
 
 def _encode_ints(ints: np.ndarray) -> bytes:
+    """Frame-of-reference int section: ``first i64 | min_delta i64 |
+    width u8 | fixed-width packed (delta - min_delta)``.
+
+    Per-row fixed width measures ~1.7x better than the 2-bit class
+    scheme on the engine's token distributions (the class floor is 8
+    bits; typical rebased deltas need 3-6) and decodes in one
+    fixed-width unpack — which is also what makes the batch codec below
+    a handful of numpy ops."""
     first = np.int64(ints[0])
     deltas = np.diff(ints)
     if deltas.size == 0:
-        return first.tobytes() + np.int64(0).tobytes()
+        return first.tobytes() + np.int64(0).tobytes() + np.uint8(0).tobytes()
     min_delta = np.int64(deltas.min())
     md_u = np.array([min_delta], dtype=np.int64).view(np.uint64)[0]
     # modular uint64 subtraction: exact non-negative rebase even when the
     # delta span exceeds the int64 range
     rebased = deltas.view(np.uint64) - md_u
-    return first.tobytes() + min_delta.tobytes() + pack_uint_stream(rebased)
+    width = int(bit_length(np.array([rebased.max()], dtype=np.uint64))[0])
+    # pad the value count to a multiple of 8 so the packed section is
+    # byte-aligned for ANY width — what lets the batch codec pack whole
+    # width-groups of rows in single fixed-width calls
+    pad = (-rebased.size) % 8
+    if pad:
+        rebased = np.concatenate([rebased, np.zeros(pad, dtype=np.uint64)])
+    return (
+        first.tobytes()
+        + min_delta.tobytes()
+        + np.uint8(width).tobytes()
+        + pack_bits(rebased, width)
+    )
 
 
 def _decode_ints(buf: np.ndarray, n: int) -> tuple[np.ndarray, int]:
@@ -85,11 +110,13 @@ def _decode_ints(buf: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     bytes_consumed)."""
     first = buf[:8].view(np.int64)[0]
     min_delta = buf[8:16].view(np.int64)[0]
-    pos = 16
+    width = int(buf[16])
+    pos = 17
     if n == 1:
         return np.array([first], dtype=np.int64), pos
-    rebased, used = unpack_uint_stream(buf[pos:], n - 1)
-    pos += used
+    m8 = n - 1 + ((-(n - 1)) % 8)  # count padded to a multiple of 8
+    rebased = unpack_bits(buf[pos:], np.full(m8, width, dtype=np.int64))[: n - 1]
+    pos += width * m8 // 8
     md_u = np.array([min_delta], dtype=np.int64).view(np.uint64)[0]
     deltas = (rebased + md_u).view(np.int64)
     ints = np.empty(n, dtype=np.int64)
@@ -124,6 +151,186 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
         parts.append(_encode_ints(ints))
     parts.append(np.ascontiguousarray(v[~mask]).tobytes())
     return b"".join(parts)
+
+
+_HEADER = 13  # mode u8 + count u32 + scale f64
+_INT_HEAD = 17  # first i64 + min_delta i64 + width u8
+_METHOD_BYTE = 21  # Method.BitPackedDeltaEncoding
+
+
+def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Batched compress: many series in ONE numpy pass.
+
+    ``flat`` is the concatenation of all series (float64), ``offsets``
+    the (n_rows+1) boundaries. Produces exactly the same per-row blob
+    (mode-0 layout + trailing method byte) as :func:`compress`; rows
+    that don't qualify for the all-int fast path (non-integral,
+    non-finite, too large, len<2) fall back to the single-series
+    encoder. This is the engine's hot path: per-batch cost is ~20 numpy
+    ops + one bytes-assembly loop, instead of ~40 numpy calls per row
+    (SURVEY.md §4.2 'vectorized execution' requirement)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_rows = offsets.size - 1
+    lens = np.diff(offsets)
+    with np.errstate(invalid="ignore"):
+        int_ok = np.isfinite(flat) & (np.abs(flat) < 2**62) & (flat == np.floor(flat))
+    if flat.size:
+        # clip start indices of empty rows (their garbage result is
+        # masked by the lens >= 2 condition)
+        safe_starts = np.minimum(offsets[:-1], flat.size - 1)
+        row_ok = np.minimum.reduceat(int_ok, safe_starts) & (lens >= 2)
+    else:
+        row_ok = np.zeros(n_rows, dtype=bool)
+    blobs: list[bytes | None] = [None] * n_rows
+    # ---- vectorized all-int rows ----
+    ok_rows = np.flatnonzero(row_ok)
+    if ok_rows.size:
+        ints = flat.astype(np.int64)
+        d_all = ints[1:] - ints[:-1] if ints.size > 1 else np.zeros(0, np.int64)
+        d_lens = np.maximum(lens - 1, 0)
+        # keep only deltas whose endpoints are in the same row (exact for
+        # any mix of empty/short rows)
+        row_of = np.repeat(np.arange(n_rows), lens)
+        keep = row_of[1:] == row_of[:-1] if row_of.size > 1 else np.zeros(0, bool)
+        d_rows = d_all[keep]  # concatenated per-row deltas
+        dr_off = np.concatenate(([0], np.cumsum(d_lens)))
+        # min delta per selected row
+        md = np.zeros(n_rows, dtype=np.int64)
+        nz = d_lens > 0
+        if nz.any():
+            md[nz] = np.minimum.reduceat(d_rows, dr_off[:-1][nz])
+        md_u = md.view(np.uint64)
+        rebased = d_rows.view(np.uint64) - np.repeat(md_u, d_lens)
+        widths = np.zeros(n_rows, dtype=np.int64)
+        if nz.any():
+            maxes = np.zeros(n_rows, dtype=np.uint64)
+            maxes[nz] = np.maximum.reduceat(rebased, dr_off[:-1][nz])
+            widths = bit_length(maxes)
+        # pack per width-group: every row's count is padded to a multiple
+        # of 8 values so its section is byte-aligned at ANY width — one
+        # fixed-width pack per distinct width covers all its rows
+        sel_idx = ok_rows
+        p_lens = d_lens + ((-d_lens) % 8)
+        sec_bytes = (widths * p_lens) // 8
+        sections: dict[int, bytes] = {}  # row -> packed section
+        for w in np.unique(widths[sel_idx]):
+            grp = sel_idx[widths[sel_idx] == w]
+            total = int(p_lens[grp].sum())
+            vals = np.zeros(total, dtype=np.uint64)
+            # gather the group's (unpadded) deltas into padded slots
+            g_off = np.concatenate(([0], np.cumsum(p_lens[grp])))
+            dst = np.repeat(g_off[:-1], d_lens[grp]) + segment_intra_indices(
+                d_lens[grp]
+            )
+            src = np.repeat(dr_off[:-1][grp], d_lens[grp]) + segment_intra_indices(
+                d_lens[grp]
+            )
+            vals[dst] = rebased[src]
+            packed = pack_bits(vals, int(w)) if int(w) else b""
+            mv = memoryview(packed)
+            b_off = np.concatenate(([0], np.cumsum(sec_bytes[grp])))
+            for k, r in enumerate(grp):
+                sections[int(r)] = bytes(mv[b_off[k] : b_off[k + 1]])
+        # headers: (30-byte) rows assembled vectorized
+        head = np.zeros((sel_idx.size, _HEADER + _INT_HEAD), dtype=np.uint8)
+        head[:, 0] = 0  # mode
+        head[:, 1:5] = lens[sel_idx].astype(np.uint32)[:, None].view(np.uint8)
+        head[:, 5:13] = np.full(sel_idx.size, 1.0)[:, None].view(np.uint8)
+        head[:, 13:21] = ints[offsets[:-1][sel_idx]][:, None].view(np.uint8)
+        head[:, 21:29] = md[sel_idx][:, None].view(np.uint8)
+        head[:, 29] = widths[sel_idx].astype(np.uint8)
+        tail = bytes([_METHOD_BYTE])
+        for k, r in enumerate(sel_idx):
+            blobs[r] = head[k].tobytes() + sections[int(r)] + tail
+    # ---- fallback rows ----
+    for r in np.flatnonzero(~row_ok):
+        v = flat[offsets[r] : offsets[r + 1]]
+        if v.size == 0:
+            blobs[r] = b""
+        elif v.size == 1:
+            blobs[r] = v.tobytes() + bytes([0])  # Uncompressed edge rule
+        else:
+            blobs[r] = compress(v) + bytes([_METHOD_BYTE])
+    return blobs  # type: ignore[return-value]
+
+
+def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched inverse of :func:`compress_batch`: returns (flat float64,
+    offsets). Mode-0 delta rows decode in one global unpack; anything
+    else falls back to the registry decoder per row."""
+    from . import registry  # late import: avoid cycle
+
+    n_rows = len(blobs)
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    blob_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n_rows)
+    blob_off = np.concatenate(([0], np.cumsum(blob_lens)))
+    is_delta0 = np.zeros(n_rows, dtype=bool)
+    big_enough = blob_lens >= _HEADER + _INT_HEAD + 1
+    idx = np.flatnonzero(big_enough)
+    if idx.size:
+        # fast path: mode 0, method byte 21, scale exactly 1.0
+        scale_idx = blob_off[idx][:, None] + (5 + np.arange(8))[None, :]
+        scales = buf[scale_idx].copy().view(np.float64).ravel()
+        is_delta0[idx] = (
+            (buf[blob_off[idx]] == 0)
+            & (buf[blob_off[idx + 1] - 1] == _METHOD_BYTE)
+            & (scales == 1.0)
+        )
+    counts = np.zeros(n_rows, dtype=np.int64)
+    sel = np.flatnonzero(is_delta0)
+    out_parts: dict[int, np.ndarray] = {}
+    if sel.size:
+        starts = blob_off[sel]
+        # gather fixed-size headers into a matrix
+        hidx = starts[:, None] + np.arange(_HEADER + _INT_HEAD)[None, :]
+        head = buf[hidx]
+        counts[sel] = head[:, 1:5].copy().view(np.uint32).ravel().astype(np.int64)
+        firsts = head[:, 13:21].copy().view(np.int64).ravel()
+        mds = head[:, 21:29].copy().view(np.int64).ravel()
+        widths = head[:, 29].astype(np.int64)
+        d_lens = np.maximum(counts[sel] - 1, 0)
+        p_lens = d_lens + ((-d_lens) % 8)
+        sec_bytes = (widths * p_lens) // 8
+        sec_starts = starts + _HEADER + _INT_HEAD
+        dr_off = np.concatenate(([0], np.cumsum(d_lens)))
+        rebased = np.zeros(int(d_lens.sum()), dtype=np.uint64)
+        # per width-group: gather that group's sections back-to-back and
+        # decode them with one fixed-width unpack
+        for w in np.unique(widths):
+            g = np.flatnonzero(widths == w)
+            if int(w) == 0:
+                continue  # zero-width rows decode to all-zero rebased
+            gidx = np.repeat(sec_starts[g], sec_bytes[g]) + segment_intra_indices(
+                sec_bytes[g]
+            )
+            vals = unpack_bits(buf[gidx], np.full(int(p_lens[g].sum()), int(w), np.int64))
+            g_off = np.concatenate(([0], np.cumsum(p_lens[g])))
+            src = np.repeat(g_off[:-1], d_lens[g]) + segment_intra_indices(d_lens[g])
+            dst = np.repeat(dr_off[:-1][g], d_lens[g]) + segment_intra_indices(
+                d_lens[g]
+            )
+            rebased[dst] = vals[src]
+        deltas = (rebased + np.repeat(mds.view(np.uint64), d_lens)).view(np.int64)
+        # per-row cumsum via global cumsum minus the value at row starts
+        dr_off = np.concatenate(([0], np.cumsum(d_lens)))
+        g = np.cumsum(deltas)
+        base = np.concatenate(([0], g))[dr_off[:-1]]
+        within = g - np.repeat(base, d_lens)
+        vals = np.repeat(firsts, d_lens) + within
+        for k, r in enumerate(sel):
+            part = np.empty(counts[r], dtype=np.float64)
+            part[0] = firsts[k]
+            part[1:] = vals[dr_off[k] : dr_off[k + 1]]
+            out_parts[r] = part
+    for r in np.flatnonzero(~is_delta0):
+        out_parts[r] = registry.decompress(bytes(blobs[r]))
+        counts[r] = out_parts[r].size
+    flat = (
+        np.concatenate([out_parts[r] for r in range(n_rows)])
+        if n_rows
+        else np.empty(0, dtype=np.float64)
+    )
+    return flat, np.concatenate(([0], np.cumsum(counts)))
 
 
 def decompress(payload: bytes) -> np.ndarray:

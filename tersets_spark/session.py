@@ -13,10 +13,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: Arrow batch size: token arrays run to 262k elements (FIXTURES.md §1),
-#: so keep record batches modest to bound per-batch memory in the Python
-#: workers: 256 rows x ~2k avg tokens x 8B ≈ 4 MiB typical.
-ARROW_BATCH_ROWS = 256
+#: Arrow batch size: token arrays run to 262k elements (FIXTURES.md §1).
+#: Bigger batches amortize the per-batch numpy fixed costs of the batched
+#: kernels (measured ~15% at 512 vs 256); the worst-case batch (512 rows
+#: of 262k-token tail docs) stays ~1 GiB in the Python worker.
+ARROW_BATCH_ROWS = 512
 
 
 def get_spark(

@@ -64,16 +64,27 @@ def _gen_tokens_batch(seeds: pd.Series, sources: pd.Series, max_len: int) -> pd.
 
 
 def synth_tokens(
-    spark: SparkSession, n_rows: int, seed: int = GLOBAL_SEED, max_len: int = 262144
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = GLOBAL_SEED,
+    max_len: int = 262144,
+    partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic token table with ``n_rows`` sequences."""
+    """Deterministic token table with ``n_rows`` sequences.
+
+    Partition count defaults to 8x the cluster parallelism so the skewed
+    length tail (1% huge docs) can't turn whole partitions into
+    stragglers — matching a real table scan where input splits greatly
+    outnumber cores."""
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def gen_tokens(seeds: pd.Series, sources: pd.Series) -> pd.Series:
         return _gen_tokens_batch(seeds, sources, max_len)
 
+    if partitions is None:
+        partitions = min(max(spark.sparkContext.defaultParallelism * 8, 64), n_rows)
     base = (
-        spark.range(n_rows)
+        spark.range(0, n_rows, numPartitions=partitions)
         .withColumn("source", F.element_at(F.array(*[F.lit(s) for s in SOURCES]), (F.pmod(F.col("id"), 4) + 1).cast("int")))
         .withColumn("doc_id", F.format_string("doc_%s_%012d", F.col("source"), F.col("id")))
         .withColumn("row_seed", F.abs(F.xxhash64(F.col("doc_id"), F.lit(seed))))

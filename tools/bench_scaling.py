@@ -21,10 +21,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-#: scaling-run corpus: big enough that kernel compute dominates fixed
-#: overheads (~100M tokens ≈ 45 core-seconds at the measured per-core
-#: kernel rate), the regime the north_rule's N-vs-4N criterion assumes
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "26000"))
+#: scaling-run corpus: big enough that measured work dominates the fixed
+#: per-run overhead (~1.5 s of scheduling/stage setup): ~400M tokens is
+#: ~180 core-seconds at the measured 0.46 core-s/Mtok pipeline rate, so
+#: the 4N run is >75% compute — the regime the north_rule's N-vs-4N
+#: criterion assumes
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
 
 
 def run_level(cpus: int, sf_dir: str) -> dict:
@@ -35,6 +37,9 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_BENCH_DOCS=str(SCALING_DOCS),
         SPARK_GRAFT_BENCH_REPEAT="2",
         SPARK_GRAFT_BENCH_FLAGSHIP_ONLY="1",
+        # identical input partitioning at both levels (splits >> cores,
+        # as a real table scan would give)
+        SPARK_GRAFT_BENCH_PARTITIONS="256",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
