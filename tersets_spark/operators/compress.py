@@ -79,10 +79,23 @@ def compress_blocks(
     def compress_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = Method(method_code)
         for pdf in batches:
-            blobs = []
-            for toks in pdf["chunk_tokens"]:
-                v = np.asarray(toks, dtype=np.float64)
-                blobs.append(registry.compress(v, m, cfg))
+            if m == Method.BitPackedDeltaEncoding and len(pdf):
+                # batched kernel: one numpy pass over the whole batch
+                from ..kernels.delta import compress_batch
+
+                arrays = [
+                    np.asarray(t, dtype=np.float64) for t in pdf["chunk_tokens"]
+                ]
+                flat = np.concatenate(arrays) if arrays else np.empty(0)
+                offs = np.concatenate(
+                    ([0], np.cumsum([a.size for a in arrays]))
+                ).astype(np.int64)
+                blobs = compress_batch(flat, offs)
+            else:
+                blobs = [
+                    registry.compress(np.asarray(t, dtype=np.float64), m, cfg)
+                    for t in pdf["chunk_tokens"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -106,10 +119,14 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
     tokens array<int32>)`` chunk rows (row-local, no shuffle)."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.delta import decompress_batch
+
         for pdf in batches:
-            toks = [
-                registry.decompress(bytes(b)).astype(np.int32) for b in pdf["blob"]
-            ]
+            # batched decode (delta fast path in one unpack; other
+            # methods fall back per row inside decompress_batch)
+            flat, offs = decompress_batch([bytes(b) for b in pdf["blob"]])
+            ints = flat.astype(np.int32)
+            toks = [ints[offs[i] : offs[i + 1]] for i in range(len(pdf))]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

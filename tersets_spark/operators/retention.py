@@ -59,6 +59,125 @@ def compact_aged(
     return kept, compress_blocks(aged, method, config, chunk)
 
 
+TIER_BLOCKS_SCHEMA = (
+    "doc_id string, stat string, method tinyint, blob binary, "
+    "bucket_blob binary, n_buckets int, first_bucket long, bytes int"
+)
+
+
+def _field_getter(field: str):
+    return lambda r: r[field]
+
+
+def compact_tier(
+    rollup: DataFrame,
+    method: Method = Method.Chimp64,
+    stats: tuple[str, ...] = ("vmin", "vmax", "vmean"),
+) -> DataFrame:
+    """Compact an aged-out rollup tier into float-codec blocks: one blob
+    per (doc_id, stat column), values ordered by bucket — the
+    Gorilla/Chimp XOR path of the north_star applied to the aggregate
+    series. Collection is JVM-side (sort_array of (bucket, stat)
+    structs); the kernel sees plain float arrays."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    method_code = int(method)
+    gathered = rollup.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", *[F.col(s) for s in stats]))
+        ).alias("_rows")
+    ).select(
+        "doc_id",
+        F.element_at("_rows", 1)["bucket"].alias("first_bucket"),
+        F.size("_rows").alias("n_buckets"),
+        F.transform("_rows", lambda r: r["bucket"]).alias("_buckets"),
+        # NB: a 2-arg lambda means (element, index) to F.transform, so
+        # late binding is avoided with a factory, not a default arg
+        *[F.transform("_rows", _field_getter(s)).alias(s) for s in stats],
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels import registry
+        from ..methods import Method as M
+
+        m = M(method_code)
+        delta = M.BitPackedDeltaEncoding
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "stat",
+                    "blob",
+                    "bucket_blob",
+                    "n_buckets",
+                    "first_bucket",
+                )
+            }
+            for _, row in pdf.iterrows():
+                # the (possibly sparse) bucket axis rides along as a
+                # delta-of-delta blob so restore needs no density assumption
+                bblob = registry.compress(
+                    np.asarray(row["_buckets"], dtype=np.float64), delta
+                )
+                for s in stats:
+                    v = np.asarray(row[s], dtype=np.float64)
+                    out["doc_id"].append(row["doc_id"])
+                    out["stat"].append(s)
+                    out["blob"].append(registry.compress(v, m))
+                    out["bucket_blob"].append(bblob)
+                    out["n_buckets"].append(v.size)
+                    out["first_bucket"].append(row["first_bucket"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "stat": out["stat"],
+                    "method": np.int8(method_code),
+                    "blob": out["blob"],
+                    "bucket_blob": out["bucket_blob"],
+                    "n_buckets": np.asarray(out["n_buckets"], dtype=np.int32),
+                    "first_bucket": np.asarray(out["first_bucket"], dtype=np.int64),
+                    "bytes": np.asarray([len(b) for b in out["blob"]], dtype=np.int32),
+                }
+            )
+
+    return gathered.mapInPandas(kernel, schema=TIER_BLOCKS_SCHEMA)
+
+
+def restore_tier(blocks: DataFrame) -> DataFrame:
+    """Inverse of :func:`compact_tier`: back to
+    (doc_id, stat, bucket, value) rows."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels import registry
+
+        for pdf in batches:
+            docs, stats_c, buckets, values = [], [], [], []
+            for _, row in pdf.iterrows():
+                v = registry.decompress(bytes(row["blob"]))
+                b = registry.decompress(bytes(row["bucket_blob"])).astype(np.int64)
+                docs.extend([row["doc_id"]] * v.size)
+                stats_c.extend([row["stat"]] * v.size)
+                buckets.extend(b.tolist())
+                values.extend(v.tolist())
+            yield pd.DataFrame(
+                {"doc_id": docs, "stat": stats_c, "bucket": buckets, "value": values}
+            )
+
+    return blocks.mapInPandas(
+        kernel, schema="doc_id string, stat string, bucket long, value double"
+    )
+
+
 def prune_tier(rollup: DataFrame, keep_buckets: int) -> DataFrame:
     """Keep only the newest ``keep_buckets`` buckets per doc in a tier
     rollup table (broadcast-free: window-max per doc via self-agg join is
