@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_chimp64": _roundtrip_query(Method.Chimp64),
         "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
         "roundtrip_rle": _roundtrip_query(Method.RunLengthEncoding),
+        "roundtrip_elf": _roundtrip_query(Method.Elf),
         "tier_rollup_words_1m": _tier_rollup_tokens_query(60, _word_tokens),
         "tier_rollup_chars_1m": _tier_rollup_tokens_query(60, _char_tokens),
         "dedup_exact": _dedup_exact_query,
@@ -551,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_chimp64": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp128": _ROUNDTRIP_ORACLE,
         "roundtrip_rle": _ROUNDTRIP_ORACLE,
+        "roundtrip_elf": _ROUNDTRIP_ORACLE,
         "tier_rollup_words_1m": _tier_rollup_tokens_oracle(60, _WORD_TOKENS_ORACLE),
         "tier_rollup_chars_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
         "dedup_exact": _DEDUP_EXACT_ORACLE,

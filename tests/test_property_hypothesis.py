@@ -1,0 +1,93 @@
+"""Hypothesis property tests — the engine analog of the reference's
+randomized generator + shrinking harness (/root/reference/src/tester.zig:
+539-613 shrinks failing cases; hypothesis does the same automatically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tersets_spark import Method, compress, decompress
+from tersets_spark.methods import LOSSLESS_METHODS
+from tersets_spark.kernels.registry import KERNELS
+
+LOSSLESS = sorted((m for m in LOSSLESS_METHODS if m in KERNELS), key=int)
+
+finite_floats = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15
+)
+any_floats = st.floats(allow_nan=True, allow_infinity=True, width=64)
+tokens = st.integers(min_value=0, max_value=131071)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(tokens, min_size=0, max_size=400), st.sampled_from(LOSSLESS))
+def test_lossless_token_roundtrip(vals, method):
+    v = np.asarray(vals, dtype=np.float64)
+    out = decompress(compress(v, method))
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(any_floats, min_size=0, max_size=200), st.sampled_from(LOSSLESS))
+def test_lossless_bitwise_any_floats(vals, method):
+    """Bit-for-bit including NaN payloads / ±Inf / -0.0
+    (tester.zig:427-447)."""
+    v = np.asarray(vals, dtype=np.float64)
+    out = decompress(compress(v, method))
+    assert v.size == out.size
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(finite_floats, min_size=2, max_size=200),
+    st.sampled_from(
+        [
+            Method.PoorMansCompressionMidrange,
+            Method.PoorMansCompressionMean,
+            Method.SwingFilter,
+            Method.SwingFilterDisconnected,
+            Method.SlideFilter,
+            Method.BitPackedQuantization,
+            Method.SerfQT,
+            Method.MacaqueS,
+            Method.MacaqueV,
+        ]
+    ),
+    st.floats(min_value=1e-6, max_value=1e6),
+)
+def test_lossy_error_bound(vals, method, eps):
+    v = np.asarray(vals, dtype=np.float64)
+    out = decompress(compress(v, method, {"abs_error_bound": eps}))
+    assert out.size == v.size
+    err = np.abs(v - out)
+    assert err.max() <= eps + 1e-9 * max(1.0, float(np.abs(v).max()))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(finite_floats, min_size=2, max_size=150), st.floats(min_value=1e-3, max_value=1e3))
+def test_sim_mix_piece_bound(vals, eps):
+    v = np.asarray(vals, dtype=np.float64)
+    for method in (Method.SimPiece, Method.MixPiece):
+        out = decompress(compress(v, method, {"abs_error_bound": eps}))
+        assert out.size == v.size
+        assert np.abs(v - out).max() <= eps + 1e-9 * max(1.0, float(np.abs(v).max()))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.lists(tokens, min_size=0, max_size=300), min_size=1, max_size=20))
+def test_delta_batch_matches_single(rows):
+    """compress_batch blobs == formats the single-series decoder accepts,
+    and batch decode reproduces every row bitwise."""
+    from tersets_spark.kernels.delta import compress_batch, decompress_batch
+
+    arrays = [np.asarray(r, dtype=np.float64) for r in rows]
+    flat = np.concatenate(arrays) if arrays else np.empty(0)
+    offs = np.concatenate(([0], np.cumsum([a.size for a in arrays]))).astype(np.int64)
+    blobs = compress_batch(flat, offs)
+    for a, b in zip(arrays, blobs):
+        assert np.array_equal(decompress(bytes(b)), a)
+    f2, o2 = decompress_batch(blobs)
+    assert np.array_equal(o2, offs) and np.array_equal(f2, flat)
