@@ -296,6 +296,39 @@ _ROLLUP_BY_TYPE_ORACLE = """
 """
 
 
+def _latest_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/dedup of partial runs: duplicate the events table (as a
+    retried run would), keep the newest row per (user_id, event_type)."""
+    from tersets_spark.operators.upsert import latest_wins
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "value")
+    merged = latest_wins(ev, ["user_id", "event_type"], "ts", ev)
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+_LATEST_WINS_ORACLE = """
+    WITH unioned AS (
+        SELECT user_id, event_type, ts, value FROM events
+        UNION ALL
+        SELECT user_id, event_type, ts, value FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           round(value, 4) AS value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, value DESC) AS rn
+        FROM unioned
+    ) WHERE rn = 1
+"""
+
+
 def _dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -497,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_1d": _gapfill_linear_query,
         "retention_split": _retention_split_query,
         "rollup_events_by_type_1d": _rollup_events_by_type_query,
+        "latest_wins_merge": _latest_wins_query,
         "roundtrip_delta": _roundtrip_query(Method.BitPackedDeltaEncoding),
         "roundtrip_chimp64": _roundtrip_query(Method.Chimp64),
         "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
@@ -548,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_linear_1d": _GAPFILL_LINEAR_ORACLE,
         "retention_split": _RETENTION_SPLIT_ORACLE,
         "rollup_events_by_type_1d": _ROLLUP_BY_TYPE_ORACLE,
+        "latest_wins_merge": _LATEST_WINS_ORACLE,
         "roundtrip_delta": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp64": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp128": _ROUNDTRIP_ORACLE,
