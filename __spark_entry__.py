@@ -10,14 +10,53 @@ to absorb summation-order differences.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tersets_spark.methods import Method
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from tersets_spark.methods import Method  # noqa: E402
 
 # ----------------------------------------------------------------- helpers
+
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship tersets_spark to executor Python workers via addPyFile so
+    UDF kernels import regardless of the driver's cwd/PYTHONPATH."""
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    zpath = os.path.join("/tmp", "tersets_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        src = os.path.join(_REPO, "tersets_spark")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(src):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added or unsupported — imports fall back to cwd
+    _PKG_SHIPPED.add(key)
+
+
+def _prep(spark: SparkSession) -> None:
+    """Per-query defense: ship the package to workers and pin the
+    session timezone (timestamp bucketing must match DuckDB's UTC-naive
+    epoch regardless of the driver's session defaults)."""
+    _ensure_pkg(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -60,6 +99,7 @@ _CHAR_TOKENS_ORACLE = (
 
 def _rollup_events_query(tier: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
         from tersets_spark.operators.rollup import rollup_events
 
         out = rollup_events(_events(spark, sf_dir), tier=tier)
@@ -89,6 +129,7 @@ def _rollup_events_oracle(width: int) -> str:
 
 def _roundtrip_query(method: Method):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
         from tersets_spark.operators.compress import roundtrip_verify
 
         out = roundtrip_verify(_word_tokens(spark, sf_dir), method)
@@ -113,6 +154,7 @@ def _bound_query(method: Method, config: dict):
     tester.zig:508-533), SQL-oracle-checkable as an all-true column."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
         from tersets_spark.operators.compress import error_bound_verify
 
         return error_bound_verify(_char_tokens(spark, sf_dir), method, config)
@@ -130,6 +172,7 @@ _BOUND_ORACLE = """
 
 def _tier_rollup_tokens_query(width: int, tokenizer):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
         from tersets_spark.operators.rollup import rollup_tokens_base
 
         out = rollup_tokens_base(tokenizer(spark, sf_dir), width)
@@ -164,6 +207,7 @@ def _tier_rollup_tokens_oracle(width: int, tokens_expr: str) -> str:
 
 
 def _gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tersets_spark.operators.gapfill import gapfill
     from tersets_spark.operators.rollup import rollup_events
 
@@ -196,6 +240,7 @@ _GAPFILL_LOCF_ORACLE = """
 
 
 def _gapfill_linear_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tersets_spark.operators.gapfill import gapfill
     from tersets_spark.operators.rollup import rollup_events
 
@@ -249,6 +294,7 @@ _GAPFILL_LINEAR_ORACLE = """
 def _retention_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention aging invariant: the newest R positions stay raw, the
     older prefix ages out — sizes are SQL-derivable."""
+    _prep(spark)
     from tersets_spark.operators.retention import split_aged
 
     toks = _char_tokens(spark, sf_dir)
@@ -271,6 +317,7 @@ _RETENTION_SPLIT_ORACLE = """
 
 
 def _rollup_events_by_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tersets_spark.operators.rollup import rollup_events
 
     out = rollup_events(
@@ -299,6 +346,7 @@ _ROLLUP_BY_TYPE_ORACLE = """
 def _latest_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union/dedup of partial runs: duplicate the events table (as a
     retried run would), keep the newest row per (user_id, event_type)."""
+    _prep(spark)
     from tersets_spark.operators.upsert import latest_wins
 
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "value")
@@ -330,6 +378,7 @@ _LATEST_WINS_ORACLE = """
 
 
 def _dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     docs = _documents(spark, sf_dir)
     return (
         docs.select(F.col("doc_id").cast("long"), F.md5("text").alias("content_hash"))
@@ -345,6 +394,7 @@ _DEDUP_EXACT_ORACLE = """
 
 
 def _textstats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tersets_spark.operators.textstats import text_stats
 
     out = text_stats(_documents(spark, sf_dir))
@@ -377,6 +427,7 @@ _TEXTSTATS_ORACLE = r"""
 
 
 def _ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tersets_spark.operators.similarity import brute_topk_sql
 
     emb = _embeddings(spark, sf_dir).select(
@@ -410,6 +461,7 @@ _ANN_TOPK_ORACLE = """
 
 
 def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tersets_spark.operators.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
@@ -444,6 +496,7 @@ _MINHASH_JACCARD_ORACLE = """
 def _compression_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-method compression ratio over the document token series —
     engine-specific blob sizes, no SQL analog (rows-only check)."""
+    _prep(spark)
     from tersets_spark.operators.compress import roundtrip_verify
 
     toks = _word_tokens(spark, sf_dir)
@@ -470,6 +523,7 @@ def _compression_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (blake2b not available in DuckDB —
     rows-only check)."""
+    _prep(spark)
     from tersets_spark.operators.dedup import simhash_near_dups
 
     docs = _documents(spark, sf_dir).select(
@@ -483,6 +537,7 @@ def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via hyperplane LSH (approximate by design —
     rows-only check)."""
+    _prep(spark)
     from tersets_spark.operators.similarity import lsh_topk
 
     emb = _embeddings(spark, sf_dir).select(
@@ -497,6 +552,7 @@ def _lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship pipeline on sf0.001: tokenize -> compress (delta) ->
     verify round-trip -> tier rollups -> per-source summary."""
+    _prep(spark)
     sf_dir = "/root/testdata/sf0.001"
     from tersets_spark.operators.compress import roundtrip_verify
     from tersets_spark.operators.rollup import rollup_tokens_base
