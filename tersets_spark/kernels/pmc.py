@@ -25,21 +25,72 @@ from .registry import register
 from .segmentation import finite_runs, first_violation
 
 
-def _segments_midrange(v: np.ndarray, s: int, e: int, eps: float):
-    """Greedy midrange runs over finite v[s:e]; yields (value, end_excl)."""
-    while s < e:
-        def scan(hi: int, s=s) -> int:
-            x = v[s:hi]
-            cmax = np.maximum.accumulate(x)
-            cmin = np.minimum.accumulate(x)
-            bad = (cmax - cmin) > 2 * eps
-            idx = np.flatnonzero(bad)
-            return s + int(idx[0]) if idx.size else -1
+def _max_feasible_window(x: np.ndarray, bound: float) -> np.ndarray:
+    """For every start i, the exclusive end of the longest window with
+    max - min <= bound — fully vectorized: O(n log n) sparse range
+    min/max tables + a vectorized binary search over window lengths
+    (feasibility is monotone in length, so the first violation equals
+    the first infeasible window — same stopping point as the
+    reference's streaming loop)."""
+    n = x.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    K = max(int(n).bit_length(), 1)
+    maxt = np.empty((K, n), dtype=np.float64)
+    mint = np.empty((K, n), dtype=np.float64)
+    maxt[0] = x
+    mint[0] = x
+    for k in range(1, K):
+        h = 1 << (k - 1)
+        m = n - (1 << k) + 1
+        if m <= 0:
+            maxt[k, :] = maxt[k - 1, :]
+            mint[k, :] = mint[k - 1, :]
+            continue
+        maxt[k, :m] = np.maximum(maxt[k - 1, :m], maxt[k - 1, h : h + m])
+        mint[k, :m] = np.minimum(mint[k - 1, :m], mint[k - 1, h : h + m])
+        maxt[k, m:] = maxt[k - 1, m:]
+        mint[k, m:] = mint[k - 1, m:]
 
-        stop = max(first_violation(e, s, scan), s + 1)  # always advance
-        seg = v[s:stop]
-        yield (float(seg.max()) + float(seg.min())) / 2, stop
-        s = stop
+    idx = np.arange(n, dtype=np.int64)
+
+    def feasible(length: np.ndarray) -> np.ndarray:
+        # range query over [i, i+length) with k = floor(log2(length));
+        # frexp exponent is exact for integer lengths < 2^53
+        k = np.frexp(length.astype(np.float64))[1].astype(np.int64) - 1
+        j = idx + length - (1 << k)
+        rmax = np.maximum(maxt[k, idx], maxt[k, j])
+        rmin = np.minimum(mint[k, idx], mint[k, j])
+        return (rmax - rmin) <= bound
+
+    lo = np.ones(n, dtype=np.int64)  # single point always feasible
+    hi = (n - idx).astype(np.int64)
+    while (lo < hi).any():
+        mid = (lo + hi + 1) // 2
+        ok = feasible(np.minimum(mid, n - idx))
+        lo = np.where(ok, mid, lo)
+        hi = np.where(ok, hi, mid - 1)
+    return idx + lo  # exclusive end per start
+
+
+def _segments_midrange(v: np.ndarray, s: int, e: int, eps: float):
+    """Greedy midrange runs over finite v[s:e]; yields (value, end_excl).
+    Window ends are precomputed vectorized; the chain walk is plain int
+    indexing; segment midranges come from two reduceat passes."""
+    x = v[s:e]
+    n = x.size
+    ends_all = _max_feasible_window(x, 2 * eps).tolist()
+    starts = []
+    i = 0
+    while i < n:  # pure-Python chain walk, no numpy inside
+        starts.append(i)
+        i = max(ends_all[i], i + 1)
+    st = np.asarray(starts, dtype=np.int64)
+    vmax = np.maximum.reduceat(x, st)
+    vmin = np.minimum.reduceat(x, st)
+    seg_ends = np.append(st[1:], n) + s
+    for val, stop in zip(((vmax + vmin) / 2).tolist(), seg_ends.tolist()):
+        yield val, stop
 
 
 def _segments_mean(v: np.ndarray, s: int, e: int, eps: float):

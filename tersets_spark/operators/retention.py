@@ -118,20 +118,23 @@ def compact_tier(
                     "first_bucket",
                 )
             }
-            for _, row in pdf.iterrows():
+            cols = [pdf["doc_id"], pdf["first_bucket"], pdf["_buckets"]] + [
+                pdf[s] for s in stats
+            ]
+            for doc_id, first_bucket, buckets, *stat_vals in zip(*cols):
                 # the (possibly sparse) bucket axis rides along as a
                 # delta-of-delta blob so restore needs no density assumption
                 bblob = registry.compress(
-                    np.asarray(row["_buckets"], dtype=np.float64), delta
+                    np.asarray(buckets, dtype=np.float64), delta
                 )
-                for s in stats:
-                    v = np.asarray(row[s], dtype=np.float64)
-                    out["doc_id"].append(row["doc_id"])
+                for s, sv in zip(stats, stat_vals):
+                    v = np.asarray(sv, dtype=np.float64)
+                    out["doc_id"].append(doc_id)
                     out["stat"].append(s)
                     out["blob"].append(registry.compress(v, m))
                     out["bucket_blob"].append(bblob)
                     out["n_buckets"].append(v.size)
-                    out["first_bucket"].append(row["first_bucket"])
+                    out["first_bucket"].append(first_bucket)
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],
@@ -162,11 +165,13 @@ def restore_tier(blocks: DataFrame) -> DataFrame:
 
         for pdf in batches:
             docs, stats_c, buckets, values = [], [], [], []
-            for _, row in pdf.iterrows():
-                v = registry.decompress(bytes(row["blob"]))
-                b = registry.decompress(bytes(row["bucket_blob"])).astype(np.int64)
-                docs.extend([row["doc_id"]] * v.size)
-                stats_c.extend([row["stat"]] * v.size)
+            for doc_id, stat, blob, bblob in zip(
+                pdf["doc_id"], pdf["stat"], pdf["blob"], pdf["bucket_blob"]
+            ):
+                v = registry.decompress(bytes(blob))
+                b = registry.decompress(bytes(bblob)).astype(np.int64)
+                docs.extend([doc_id] * v.size)
+                stats_c.extend([stat] * v.size)
                 buckets.extend(b.tolist())
                 values.extend(v.tolist())
             yield pd.DataFrame(

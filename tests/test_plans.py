@@ -1,0 +1,107 @@
+"""Physical-plan audits: the properties that make the operators hold up
+at 100 TB, asserted from .explain output (SURVEY.md §4.2).
+
+These tests pin the *shape* of the plans: filters reach the parquet
+scan, small sides broadcast, the flagship needs exactly one exchange,
+and no accidental cartesian products appear.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tersets_spark.methods import Method
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*(IsNotNull|EqualTo)", plan), plan
+    # column pruning: the scan must not read all 6 columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3, m.group(1) if m else plan
+
+
+def test_rollup_events_is_partial_final_agg(spark):
+    from tersets_spark.operators.rollup import rollup_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(rollup_events(ev, tier="1h"))
+    # partial + final hash aggregation with exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_flagship_single_exchange(spark):
+    """The fused flagship (compress + verify + all tiers) must shuffle
+    exactly once — the ROLLUP grouping-set exchange."""
+    from tersets_spark.operators.pipeline import (
+        flagship_summary,
+        fused_compress_rollup,
+    )
+    from tersets_spark.sources.synth import synth_tokens
+
+    toks = synth_tokens(spark, 8, max_len=500)
+    q = flagship_summary(fused_compress_rollup(toks, Method.BitPackedDeltaEncoding))
+    plan = _plan(q)
+    # AQE may stage exchanges; count distinct shuffle exchanges
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+    assert "Expand" in plan  # grouping sets compiled to Expand + agg
+
+
+def test_ann_broadcasts_query_side(spark):
+    from tersets_spark.operators.similarity import brute_topk_sql
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    q = brute_topk_sql(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_gapfill_spine_no_cartesian(spark):
+    from tersets_spark.operators.gapfill import gapfill
+    from tersets_spark.operators.rollup import rollup_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hourly = rollup_events(ev, tier="1h").select("user_id", "bucket", "vmean")
+    q = gapfill(hourly, ["user_id"], 3600, ["vmean"])
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_compress_path_has_no_shuffle(spark):
+    """compress_blocks must be a narrow pipeline: scan -> explode ->
+    Python kernel, zero exchanges."""
+    from tersets_spark.operators.compress import compress_blocks
+    from tersets_spark.sources.synth import synth_tokens
+
+    toks = synth_tokens(spark, 8, max_len=500)
+    plan = _plan(compress_blocks(toks, Method.BitPackedDeltaEncoding))
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_join_is_equi_join(spark):
+    from tersets_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    plan = _plan(minhash_lsh_candidates(docs, n_hashes=16, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan  # banded equi-join shuffles on bucket
