@@ -343,6 +343,39 @@ _ROLLUP_BY_TYPE_ORACLE = """
 """
 
 
+def _tier_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention pruning: keep only the newest 3 one-minute buckets per
+    doc from the char-token rollup."""
+    _prep(spark)
+    from tersets_spark.operators.retention import prune_tier
+    from tersets_spark.operators.rollup import rollup_tokens_base
+
+    roll = rollup_tokens_base(_char_tokens(spark, sf_dir), 60).select(
+        "doc_id", "bucket", "vmin", "vmax", "vcount"
+    )
+    return prune_tier(roll, 3).select("doc_id", "bucket", "vmin", "vmax", "vcount")
+
+
+_TIER_PRUNE_ORACLE = """
+    WITH toks AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               unnest(list_transform(generate_series(1, length(text)),
+                      i -> ascii(substring(text, i, 1)))) AS tok,
+               unnest(generate_series(0, length(text) - 1)) AS pos
+        FROM documents
+    ), roll AS (
+        SELECT doc_id, CAST(pos // 60 AS BIGINT) AS bucket,
+               CAST(min(tok) AS DOUBLE) AS vmin,
+               CAST(max(tok) AS DOUBLE) AS vmax,
+               count(*) AS vcount
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, bucket, vmin, vmax, vcount
+    FROM (SELECT *, max(bucket) OVER (PARTITION BY doc_id) AS maxb FROM roll)
+    WHERE bucket > maxb - 3
+"""
+
+
 def _latest_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union/dedup of partial runs: duplicate the events table (as a
     retried run would), keep the newest row per (user_id, event_type)."""
@@ -587,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_split": _retention_split_query,
         "rollup_events_by_type_1d": _rollup_events_by_type_query,
         "latest_wins_merge": _latest_wins_query,
+        "tier_prune_1m": _tier_prune_query,
         "roundtrip_delta": _roundtrip_query(Method.BitPackedDeltaEncoding),
         "roundtrip_chimp64": _roundtrip_query(Method.Chimp64),
         "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
@@ -639,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_split": _RETENTION_SPLIT_ORACLE,
         "rollup_events_by_type_1d": _ROLLUP_BY_TYPE_ORACLE,
         "latest_wins_merge": _LATEST_WINS_ORACLE,
+        "tier_prune_1m": _TIER_PRUNE_ORACLE,
         "roundtrip_delta": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp64": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp128": _ROUNDTRIP_ORACLE,

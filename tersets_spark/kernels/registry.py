@@ -83,11 +83,27 @@ def compress(values: np.ndarray, method: Method, config: dict | None = None) -> 
     return payload + bytes([int(method)])
 
 
+class CorruptBlobError(ValueError):
+    """A blob failed structural validation during decode (mirrors the
+    reference's CorruptedCompressedData paths, e.g.
+    poor_mans_compression.zig:217, swing_slide_filter.zig:767)."""
+
+
 def decompress(blob: bytes) -> np.ndarray:
     """Decompress a self-describing blob (method code in last byte)."""
     if len(blob) == 0:
         return np.empty(0, dtype=np.float64)
-    method = Method(blob[-1])
+    try:
+        method = Method(blob[-1])
+    except ValueError as ex:
+        raise CorruptBlobError(f"unknown method byte {blob[-1]}") from ex
     if method not in KERNELS:
         raise NotImplementedError(f"method {method.name} not implemented")
-    return KERNELS[method][1](blob[:-1])
+    try:
+        return KERNELS[method][1](blob[:-1])
+    except CorruptBlobError:
+        raise
+    except (ValueError, IndexError) as ex:
+        raise CorruptBlobError(
+            f"corrupt {method.name} blob ({len(blob)} bytes): {ex}"
+        ) from ex
