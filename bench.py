@@ -44,8 +44,10 @@ def main() -> None:
 
     # ---- flagship: fused compress + verify + tier rollups (1m/1h/1d)
     # over the deterministic synthetic token table ----
+    # corpus sized so kernel compute (not per-job overhead) sets the
+    # headline: ~40M tokens at sf=0.1
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0")) or max(
-        int(30000 * sf), 200
+        int(100000 * sf), 200
     )
     parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "0")) or None
     toks = synth_tokens(spark, n_docs, partitions=parts).persist()

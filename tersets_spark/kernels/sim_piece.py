@@ -63,6 +63,34 @@ def phase1_segments(v: np.ndarray, eps: float, quantize: str = "floor"):
             # escape to an exact singleton
             return s + 1, float(v[s]), 0.0, 0.0
 
+        # plain-Python fast path for short segments (tight bounds make
+        # ~8-point segments the common case; interpreter arithmetic
+        # beats numpy per-call overhead there)
+        _PY_N = 24
+        up = np.inf
+        lo = -np.inf
+        j = s + 1
+        stop_py = min(s + 1 + _PY_N, e)
+        while j < stop_py:
+            dt = j - s
+            dy = v[j] - b
+            nup = (dy + eff) / dt
+            nlo = (dy - eff) / dt
+            p_up, p_lo = up, lo
+            if nup < up:
+                up = nup
+            if nlo > lo:
+                lo = nlo
+            if lo > up:
+                if dt == 1:
+                    return s + 1, b, 0.0, 0.0
+                return j, b, p_lo, p_up
+            j += 1
+        if stop_py == e:
+            if e == s + 1:
+                return s + 1, b, 0.0, 0.0
+            return e, b, float(lo), float(up)
+
         def scan(hi_abs: int) -> int:
             j = np.arange(s + 1, hi_abs, dtype=np.float64)
             if j.size == 0:

@@ -44,32 +44,65 @@ def _effective_eps(eps: float) -> float:
 def _swing_segment(v: np.ndarray, anchor_i: int, anchor_v: float, e: int, eps: float):
     """Longest feasible swing segment from the anchor: returns
     (end_index_inclusive, slope). Bounds: slope must stay within
-    [max lower, min upper] over every covered point."""
+    [max lower, min upper] over every covered point.
 
-    def scan(hi: int) -> int:
-        j = np.arange(anchor_i + 1, hi, dtype=np.float64)
-        if j.size == 0:
-            return -1
-        x = v[anchor_i + 1 : hi]
+    Single fused gallop scan: each geometric block computes the running
+    bound envelopes AND the cumulative SSE-slope sums, so the chosen
+    end's clamped slope (Eq. 5/6) reads straight out of the prefix
+    arrays — no second pass over the segment. Segments shorter than
+    ~24 points (the common case at tight bounds) take a plain-Python
+    scan first: for tiny segments interpreter arithmetic beats numpy's
+    per-call overhead ~3x."""
+    _PY_N = 24
+    up = np.inf
+    lo = -np.inf
+    sxy = sxx = 0.0
+    j = anchor_i + 1
+    stop_py = min(anchor_i + 1 + _PY_N, e)
+    while j < stop_py:
         dt = j - anchor_i
-        up = np.minimum.accumulate((x + eps - anchor_v) / dt)
-        lo = np.maximum.accumulate((x - eps - anchor_v) / dt)
-        bad = lo > up
-        idx = np.flatnonzero(bad)
-        return anchor_i + 1 + int(idx[0]) if idx.size else -1
-
-    stop = first_violation(e, anchor_i + 1, scan)  # first infeasible point
-    end = stop - 1 if stop < e else e - 1
-    if end <= anchor_i:
-        end = anchor_i + 1  # single point is always feasible
-    x = v[anchor_i + 1 : end + 1]
-    dt = np.arange(1, x.size + 1, dtype=np.float64)
-    up = float(np.min((x + eps - anchor_v) / dt))
-    lo = float(np.max((x - eps - anchor_v) / dt))
-    # SSE-optimal slope through the anchor (Eq. 5/6), clamped to bounds
-    opt = float(np.dot(x - anchor_v, dt) / np.dot(dt, dt))
-    slope = min(max(opt, lo), up)
-    return end, slope
+        dy = v[j] - anchor_v
+        nup = (dy + eps) / dt
+        nlo = (dy - eps) / dt
+        p_up, p_lo, p_sxy, p_sxx = up, lo, sxy, sxx
+        if nup < up:
+            up = nup
+        if nlo > lo:
+            lo = nlo
+        sxy += dy * dt
+        sxx += dt * dt
+        if lo > up:  # first infeasible point: close at the previous one
+            k = dt - 2
+            if k < 0:
+                return anchor_i + 1, min(max(dy, nlo), nup)
+            slope = min(max(p_sxy / p_sxx, p_lo), p_up)
+            return anchor_i + dt - 1, slope
+        j += 1
+    if stop_py == e:
+        slope = min(max(sxy / sxx, lo), up) if sxx else 0.0
+        return e - 1, slope
+    block = 2 * _PY_N
+    while True:
+        hi = min(anchor_i + 1 + block, e)
+        x = v[anchor_i + 1 : hi]
+        if x.size == 0:
+            return anchor_i + 1, 0.0
+        dt = np.arange(1.0, x.size + 1)
+        dy = x - anchor_v
+        up_c = np.minimum.accumulate((dy + eps) / dt)
+        lo_c = np.maximum.accumulate((dy - eps) / dt)
+        idx = np.flatnonzero(lo_c > up_c)
+        if idx.size or hi == e:
+            # last feasible offset within this block
+            k = int(idx[0]) - 1 if idx.size else x.size - 1
+            if k < 0:
+                return anchor_i + 1, float(np.clip(dy[0], lo_c[0], up_c[0]))
+            sxy = np.cumsum(dy * dt)
+            sxx = np.cumsum(dt * dt)
+            opt = float(sxy[k] / sxx[k])
+            slope = min(max(opt, float(lo_c[k])), float(up_c[k]))
+            return anchor_i + 1 + k, slope
+        block *= 2
 
 
 def compress_swing(values: np.ndarray, config: dict | None = None) -> bytes:
