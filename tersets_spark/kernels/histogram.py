@@ -59,9 +59,12 @@ def _lsq_sse(pref, s: int, e: int) -> tuple[float, float, float]:
     return max(sse, 0.0), slope, b0
 
 
-def _min_merge(n_points: int, k: int, cost_fn):
+def _min_merge(n_points: int, k: int, cost_fn, on_merge=None):
     """Generic bottom-up merge from singletons to k buckets; returns the
-    list of (start, end_inclusive) buckets."""
+    list of (start, end_inclusive) buckets. ``cost_fn(i_slot, j_slot,
+    segs)`` evaluates merging slot i with its successor slot j;
+    ``on_merge(i_slot, j_slot)`` lets callers maintain O(1) incremental
+    state (e.g. merged extrema)."""
     segs = [(i, i) for i in range(n_points)]
     nxt = list(range(1, n_points)) + [-1]
     prv = [-1] + list(range(n_points - 1))
@@ -71,7 +74,7 @@ def _min_merge(n_points: int, k: int, cost_fn):
 
     def cost(i: int) -> float:
         j = nxt[i]
-        return np.inf if j < 0 else cost_fn(segs[i][0], segs[j][1])
+        return np.inf if j < 0 else cost_fn(i, j, segs)
 
     heap = [(cost(i), i, 0) for i in range(n_points) if nxt[i] >= 0]
     heapq.heapify(heap)
@@ -80,6 +83,8 @@ def _min_merge(n_points: int, k: int, cost_fn):
         if not alive[i] or ver != version[i] or nxt[i] < 0:
             continue
         j = nxt[i]
+        if on_merge is not None:
+            on_merge(i, j)
         segs[i] = (segs[i][0], segs[j][1])
         alive[j] = False
         n_alive -= 1
@@ -108,13 +113,23 @@ def compress_pwch(values: np.ndarray, config: dict | None = None) -> bytes:
     k = _bins(config)
     if not np.isfinite(v).all():
         raise ValueError("histogram methods require finite input")
-    def cost_fn(s: int, e: int) -> float:
-        seg = v[s : e + 1]
-        return float(seg.max() - seg.min()) / 2
+    # O(1) merge cost via per-slot running extrema
+    maxs = v.tolist()
+    mins = v.tolist()
 
-    buckets = _min_merge(v.size, k, cost_fn)
+    def cost_fn(i: int, j: int, _segs) -> float:
+        return (max(maxs[i], maxs[j]) - min(mins[i], mins[j])) / 2
+
+    def on_merge(i: int, j: int) -> None:
+        if maxs[j] > maxs[i]:
+            maxs[i] = maxs[j]
+        if mins[j] < mins[i]:
+            mins[i] = mins[j]
+
+    buckets = _min_merge(v.size, k, cost_fn, on_merge)
     out = np.empty(2 * len(buckets), dtype=np.uint64)
-    vals = np.array([(v[s : e + 1].max() + v[s : e + 1].min()) / 2 for s, e in buckets])
+    starts = [s for s, _ in buckets]
+    vals = np.array([(maxs[s] + mins[s]) / 2 for s in starts])
     out[0::2] = vals.view(np.uint64)
     out[1::2] = np.array([e + 1 for _, e in buckets], dtype=np.uint64)
     return out.tobytes()
@@ -127,8 +142,8 @@ def compress_pwlh(values: np.ndarray, config: dict | None = None) -> bytes:
         raise ValueError("histogram methods require finite input")
     pref = _lsq_prefix(v)
 
-    def cost_fn(s: int, e: int) -> float:
-        return _lsq_sse(pref, s, e)[0]
+    def cost_fn(i: int, j: int, segs) -> float:
+        return _lsq_sse(pref, segs[i][0], segs[j][1])[0]
 
     buckets = _min_merge(v.size, k, cost_fn)
     triples = []

@@ -94,18 +94,46 @@ def _segments_midrange(v: np.ndarray, s: int, e: int, eps: float):
 
 
 def _segments_mean(v: np.ndarray, s: int, e: int, eps: float):
+    """Greedy mean runs. Short segments (the common case) scan in plain
+    Python — scalar arithmetic beats numpy per-call overhead ~5x there;
+    long runs fall back to the vectorized gallop."""
+    _PY_N = 32
+    vl = v  # local alias
     while s < e:
-        def scan(hi: int, s=s) -> int:
-            x = v[s:hi]
-            cmax = np.maximum.accumulate(x)
-            cmin = np.minimum.accumulate(x)
-            cmean = np.cumsum(x) / np.arange(1, x.size + 1)
-            bad = ((cmax - cmean) > eps) | ((cmean - cmin) > eps)
-            idx = np.flatnonzero(bad)
-            return s + int(idx[0]) if idx.size else -1
+        vmax = vmin = float(vl[s])
+        vsum = float(vl[s])
+        j = s + 1
+        stop_py = min(s + _PY_N, e)
+        stop = -1
+        while j < stop_py:
+            x = float(vl[j])
+            nmax = x if x > vmax else vmax
+            nmin = x if x < vmin else vmin
+            nsum = vsum + x
+            nmean = nsum / (j - s + 1)
+            if (nmax - nmean) > eps or (nmean - nmin) > eps:
+                stop = j
+                break
+            vmax, vmin, vsum = nmax, nmin, nsum
+            j += 1
+        else:
+            if stop_py == e:
+                stop = e
+        if stop < 0:  # undecided within the Python window: numpy gallop
+            def scan(hi: int, s=s) -> int:
+                x = vl[s:hi]
+                cmax = np.maximum.accumulate(x)
+                cmin = np.minimum.accumulate(x)
+                cmean = np.cumsum(x) / np.arange(1, x.size + 1)
+                bad = ((cmax - cmean) > eps) | ((cmean - cmin) > eps)
+                idx = np.flatnonzero(bad)
+                return s + int(idx[0]) if idx.size else -1
 
-        stop = max(first_violation(e, s, scan), s + 1)  # always advance
-        yield float(v[s:stop].mean()), stop
+            stop = max(first_violation(e, s, scan), s + 1)
+            yield float(vl[s:stop].mean()), stop
+        else:
+            stop = max(stop, s + 1)
+            yield vsum / (stop - s), stop
         s = stop
 
 
