@@ -343,6 +343,69 @@ _ROLLUP_BY_TYPE_ORACLE = """
 """
 
 
+def _float_roundtrip_query(method: Method):
+    """Bitwise round-trip of REAL float series: each user's event values
+    ordered by time become one f64 series through the XOR/float codecs —
+    the Gorilla-family path of the north_star on actual measurements."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        from typing import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        from tersets_spark.kernels import registry
+
+        series = (
+            _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "value"))
+                    ),
+                    lambda r: r["value"],
+                ).alias("vals")
+            )
+        )
+        method_code = int(method)
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            m = Method(method_code)
+            for pdf in batches:
+                oks, ns = [], []
+                for vals in pdf["vals"]:
+                    v = np.asarray(vals, dtype=np.float64)
+                    out = registry.decompress(registry.compress(v, m))
+                    oks.append(
+                        out.size == v.size
+                        and bool(
+                            np.array_equal(v.view(np.uint64), out.view(np.uint64))
+                        )
+                    )
+                    ns.append(v.size)
+                yield pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"],
+                        "n_values": np.asarray(ns, dtype=np.int64),
+                        "bit_exact": oks,
+                    }
+                )
+
+        return series.mapInPandas(
+            verify, schema="user_id long, n_values long, bit_exact boolean"
+        )
+
+    return q
+
+
+_FLOAT_ROUNDTRIP_ORACLE = """
+    SELECT user_id, count(*) AS n_values, true AS bit_exact
+    FROM events GROUP BY user_id
+"""
+
+
 def _tier_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention pruning: keep only the newest 3 one-minute buckets per
     doc from the char-token rollup."""
@@ -626,6 +689,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
         "roundtrip_rle": _roundtrip_query(Method.RunLengthEncoding),
         "roundtrip_elf": _roundtrip_query(Method.Elf),
+        "float_roundtrip_chimp64": _float_roundtrip_query(Method.Chimp64),
+        "float_roundtrip_chimp128": _float_roundtrip_query(Method.Chimp128),
+        "float_roundtrip_elf": _float_roundtrip_query(Method.Elf),
+        "float_roundtrip_delta": _float_roundtrip_query(
+            Method.BitPackedDeltaEncoding
+        ),
         "tier_rollup_words_1m": _tier_rollup_tokens_query(60, _word_tokens),
         "tier_rollup_chars_1m": _tier_rollup_tokens_query(60, _char_tokens),
         "dedup_exact": _dedup_exact_query,
@@ -679,6 +748,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_chimp128": _ROUNDTRIP_ORACLE,
         "roundtrip_rle": _ROUNDTRIP_ORACLE,
         "roundtrip_elf": _ROUNDTRIP_ORACLE,
+        "float_roundtrip_chimp64": _FLOAT_ROUNDTRIP_ORACLE,
+        "float_roundtrip_chimp128": _FLOAT_ROUNDTRIP_ORACLE,
+        "float_roundtrip_elf": _FLOAT_ROUNDTRIP_ORACLE,
+        "float_roundtrip_delta": _FLOAT_ROUNDTRIP_ORACLE,
         "tier_rollup_words_1m": _tier_rollup_tokens_oracle(60, _WORD_TOKENS_ORACLE),
         "tier_rollup_chars_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
