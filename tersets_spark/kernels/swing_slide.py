@@ -201,31 +201,110 @@ def compress_swing_disconnected(values: np.ndarray, config: dict | None = None) 
     return _pack_triples(triples)
 
 
+def _hull_width_line(ux, uy, lx, ly):
+    """Minimal vertical band (width, slope, mid-intercept) for points
+    given their upper/lower hulls — pure Python: hulls are tiny (<20
+    points for typical segments) so interpreter loops beat numpy's
+    per-call overhead here."""
+    best_w = float("inf")
+    best_s = best_b = 0.0
+    for bx, by, ox, oy, sgn in ((lx, ly, ux, uy, 1.0), (ux, uy, lx, ly, -1.0)):
+        m = len(bx)
+        if m < 2:
+            continue
+        for i in range(m - 1):
+            dx = bx[i + 1] - bx[i]
+            slope = (by[i + 1] - by[i]) / dx
+            inter = by[i] - slope * bx[i]
+            d = 0.0
+            for j in range(len(ox)):
+                t = sgn * (oy[j] - slope * ox[j] - inter)
+                if t > d:
+                    d = t
+            if d < best_w:
+                best_w = d
+                best_s = slope
+                best_b = inter + sgn * d / 2
+    if best_w == float("inf"):
+        return 0.0, 0.0, (ly[0] if ly else 0.0)
+    return best_w, best_s, best_b
+
+
+def _push_hull(hx, hy, x, y, upper: bool) -> None:
+    while len(hx) >= 2:
+        cr = (hx[-1] - hx[-2]) * (y - hy[-1]) - (hy[-1] - hy[-2]) * (x - hx[-1])
+        if (cr >= 0) if upper else (cr <= 0):
+            hx.pop()
+            hy.pop()
+        else:
+            break
+    hx.append(x)
+    hy.append(y)
+
+
 def _slide_segment(v: np.ndarray, s: int, e: int, eps: float):
-    """Longest segment from s admitting an L∞ fit with maxerr <= eps
-    (feasibility is monotone in segment length, so galloping +
-    first-violation is exact). Returns (end_inclusive, slope, intercept)
-    with intercept at local x=0 (i.e. at index s)."""
+    """Longest segment from s admitting an L∞ fit with maxerr <= eps.
+    Returns (end_inclusive, slope, intercept) with intercept at local
+    x=0 (i.e. at index s).
 
-    def scan(hi: int) -> int:
-        # find first prefix length whose Chebyshev width exceeds eps;
-        # widths are monotone in prefix length, so bisect inside the block
-        x = v[s:hi]
-        if cheb_fit(x)[2] <= eps:
-            return -1
-        lo_len, hi_len = 2, x.size  # length 2 always feasible (err 0)
-        while lo_len < hi_len:
-            mid = (lo_len + hi_len) // 2 + 1
-            if cheb_fit(x[:mid])[2] <= eps:
-                lo_len = mid
+    Incremental: the convex hulls grow point-by-point (amortized O(1)
+    per point, the engine analog of the reference's hull maintenance,
+    convex_hull.zig); the Chebyshev width is only evaluated at doubling
+    checkpoints, then the exact first-infeasible length is bisected with
+    full fits (widths are monotone in prefix length, so the stop point
+    equals the reference's streaming violation point)."""
+    n_max = e - s
+    if n_max <= 2:
+        end = e - 1
+        slope, intercept, _ = cheb_fit(v[s : end + 1])
+        return end, slope, intercept
+
+    def build_hulls(length: int):
+        ux: list[float] = []
+        uy: list[float] = []
+        lx: list[float] = []
+        ly: list[float] = []
+        for k in range(length):
+            y = float(v[s + k])
+            _push_hull(ux, uy, float(k), y, upper=True)
+            _push_hull(lx, ly, float(k), y, upper=False)
+        return ux, uy, lx, ly
+
+    ux, uy, lx, ly = [], [], [], []
+    last_ok = 2  # two points always fit exactly
+    check_at = 4
+    infeasible_at = -1
+    for k in range(n_max):
+        y = float(v[s + k])
+        _push_hull(ux, uy, float(k), y, upper=True)
+        _push_hull(lx, ly, float(k), y, upper=False)
+        n = k + 1
+        if n >= check_at or n == n_max:
+            if n <= 2 or _hull_width_line(ux, uy, lx, ly)[0] / 2 <= eps:
+                last_ok = n
+                check_at = n * 2
             else:
-                hi_len = mid - 1
-        return s + lo_len  # first infeasible index
-
-    stop = first_violation(e, s + 2, scan) if e - s > 2 else e
-    end = min(stop, e) - 1
-    slope, intercept, _ = cheb_fit(v[s : end + 1])
-    return end, slope, intercept
+                infeasible_at = n
+                break
+    if infeasible_at < 0:
+        end = e - 1
+        _w, slope, intercept = _hull_width_line(ux, uy, lx, ly)
+        return end, slope, intercept
+    # exact boundary: rebuild hulls at the last known-feasible length,
+    # then step point-by-point (widths are monotone in prefix length)
+    ux, uy, lx, ly = build_hulls(last_ok)
+    length = last_ok
+    _w, slope, intercept = _hull_width_line(ux, uy, lx, ly)
+    while length < infeasible_at:
+        y = float(v[s + length])
+        _push_hull(ux, uy, float(length), y, upper=True)
+        _push_hull(lx, ly, float(length), y, upper=False)
+        w, sl, b = _hull_width_line(ux, uy, lx, ly)
+        if w / 2 > eps:
+            break
+        slope, intercept = sl, b
+        length += 1
+    return s + length - 1, slope, intercept
 
 
 def compress_slide(values: np.ndarray, config: dict | None = None) -> bytes:
