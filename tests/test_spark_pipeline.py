@@ -43,7 +43,14 @@ def test_synth_deterministic(spark):
 
 @pytest.mark.parametrize(
     "method",
-    [Method.BitPackedDeltaEncoding, Method.Chimp64, Method.RunLengthEncoding],
+    [
+        Method.BitPackedDeltaEncoding,
+        Method.Chimp64,
+        Method.Chimp128,
+        Method.RunLengthEncoding,
+        Method.Elf,
+        Method.Uncompressed,
+    ],
     ids=lambda m: m.name,
 )
 def test_roundtrip_all_docs(tokens_df, method):
