@@ -32,20 +32,36 @@ _LOG2_10 = 3.321928094887362
 
 
 def _beta(v: np.ndarray) -> np.ndarray:
-    """Significant decimal digits of the shortest round-trip decimal
-    representation, per value (1..17)."""
-    out = np.full(v.size, 17, dtype=np.int64)
-    for i, x in enumerate(v):
-        if not np.isfinite(x) or x == 0.0:
-            out[i] = 1
-            continue
-        r = repr(float(abs(x)))
-        if "e" in r or "E" in r:
-            mant = r.split("e")[0].split("E")[0]
-        else:
-            mant = r
-        digits = mant.replace(".", "").replace("-", "").lstrip("0")
-        out[i] = max(len(digits.rstrip("0")), 1)
+    """Significant decimal digits per value (1..17), vectorized.
+
+    Estimate: the smallest k with v*10^k an exact integer gives the
+    decimal-place count; significant digits = floor(log10|v|) + k + 1.
+    Values that aren't short decimals keep beta=17 (their erasure will
+    fail the compress-time verification and they are stored unerased —
+    losslessness never depends on this estimate being right)."""
+    n = v.size
+    out = np.full(n, 17, dtype=np.int64)
+    finite = np.isfinite(v) & (v != 0.0)
+    if not finite.any():
+        out[~np.isfinite(v) | (v == 0.0)] = 1
+        return out
+    x = np.abs(v)
+    k = np.full(n, -1, dtype=np.int64)
+    with np.errstate(over="ignore", invalid="ignore"):
+        for kk in range(16):
+            scaled = x * (10.0**kk)
+            exact = (
+                finite
+                & (k < 0)
+                & (scaled < 2**53)
+                & (scaled == np.floor(scaled))
+            )
+            k[exact] = kk
+        mag = np.full(n, 0, dtype=np.int64)
+        mag[finite] = np.floor(np.log10(x[finite])).astype(np.int64)
+    have = k >= 0
+    out[have] = np.clip(mag[have] + k[have] + 1, 1, 17)
+    out[~np.isfinite(v) | (v == 0.0)] = 1
     return out
 
 
@@ -60,9 +76,10 @@ def _decimal_round(v: np.ndarray, beta: np.ndarray) -> np.ndarray:
         dec = (beta[nz] - 1 - mag).astype(np.int64)
         sub = v[nz].copy()
         # np.round with per-element decimals: group by decimal count
-        for d in np.unique(dec):
-            m = dec == d
-            sub[m] = np.round(sub[m], int(d))
+        with np.errstate(invalid="ignore", over="ignore"):
+            for d in np.unique(dec):
+                m = dec == d
+                sub[m] = np.round(sub[m], int(d))
         out[nz] = sub
     return out
 
