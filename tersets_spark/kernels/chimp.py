@@ -76,7 +76,11 @@ def _encode_xor_sections(xors: np.ndarray) -> list[bytes]:
     significant-bit payload. Storing the trailing-zero count in the
     header (like the reference's trailing>6 marker-01 path,
     chimp64.zig:47-122) keeps decimal-ish data compact: the payload is
-    ``xor >> tz`` with width 64 - lz - tz."""
+    ``xor >> tz`` with width 64 - lz - tz.
+
+    The payload is GROUPED BY WIDTH (ascending; original order within a
+    group) so both directions run on the fixed-width fast path, and the
+    batch codec can pack whole width-groups of many rows at once."""
     n = xors.size
     flags = (xors != 0).astype(np.uint64)
     parts = [pack_bits(flags, 1) if n else b""]
@@ -87,7 +91,9 @@ def _encode_xor_sections(xors: np.ndarray) -> list[bytes]:
         headers = (lz.astype(np.uint64) << np.uint64(6)) | tz.astype(np.uint64)
         parts.append(pack_bits(headers, 12))
         sig = 64 - lz - tz  # in 1..64
-        parts.append(pack_bits(changed >> tz.astype(np.uint64), sig))
+        vals = changed >> tz.astype(np.uint64)
+        for w in np.unique(sig):
+            parts.append(pack_bits(vals[sig == w], int(w)))
     return parts
 
 
@@ -103,8 +109,12 @@ def _decode_xor_sections(buf: np.ndarray, n: int) -> tuple[np.ndarray, int, np.n
         lz = (headers >> np.uint64(6)).astype(np.int64)
         tz = (headers & np.uint64(0x3F)).astype(np.int64)
         sig = 64 - lz - tz
-        vals = unpack_bits(buf[pos:], sig)
-        pos += (int(sig.sum()) + 7) // 8
+        vals = np.empty(m, dtype=np.uint64)
+        for w in np.unique(sig):
+            mask = sig == w
+            cnt = int(mask.sum())
+            vals[mask] = unpack_bits(buf[pos:], np.full(cnt, int(w), np.int64))
+            pos += (int(w) * cnt + 7) // 8
         xors[flags] = vals << tz.astype(np.uint64)
     return xors, pos, flags
 
