@@ -4,8 +4,9 @@
 ``queries()`` exposes each implemented operator from SURVEY.md §2 (plus
 the training-pipeline operators) over the driver test tables;
 ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Column names and
-types are aligned pairwise; float aggregates are rounded on both sides
-to absorb summation-order differences.
+types are aligned pairwise; emitted floats use exact integer-scaled
+sums + floor truncation on both sides (see the float-hardening note
+below) so the comparison is deterministic at any scale.
 """
 
 from __future__ import annotations
@@ -97,31 +98,62 @@ _CHAR_TOKENS_ORACLE = (
 )
 
 
+# ---- float comparison hardening -------------------------------------
+# Two engines can ROUND THE SAME DOUBLE differently at exact .xxxx5
+# boundaries (Spark uses decimal HALF_UP on the full repr, DuckDB C
+# rounding) — observed on sf0.1 means. Rule for every emitted float:
+#  * means come from EXACT integer-scaled sums (sum of int64 is
+#    associative, so both engines produce the identical double after one
+#    division), never from engine-native avg();
+#  * emitted floats are floor-TRUNCATED (pure IEEE ops on identical
+#    doubles are deterministic), never rounded.
+
+
+def _trunc(col: F.Column, digits: int = 4) -> F.Column:
+    s = 10**digits
+    return F.floor(col * s) / s
+
+
+def _scaled_sum(col: F.Column, digits: int = 4) -> F.Column:
+    """Exact decimal-scaled integer sum: associative, engine-agnostic."""
+    s = 10**digits
+    return F.sum(F.floor(col * s + 0.5).cast("long"))
+
+
+_SQL_TRUNC = "floor(({x}) * 1e{d}) / 1e{d}"
+_SQL_SCALED_SUM = "SUM(CAST(floor(({x}) * 1e4 + 0.5) AS BIGINT))"
+
+
 def _rollup_events_query(tier: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
-        from tersets_spark.operators.rollup import rollup_events
-
-        out = rollup_events(_events(spark, sf_dir), tier=tier)
-        return out.select(
-            "user_id",
-            "bucket",
-            F.round("vmin", 4).alias("vmin"),
-            F.round("vmax", 4).alias("vmax"),
-            F.round("vmean", 4).alias("vmean"),
-            "vcount",
+        width = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+        ev = _events(spark, sf_dir)
+        bucket = (F.floor(F.unix_timestamp("ts") / width) * width).alias("bucket")
+        return ev.groupBy("user_id", bucket).agg(
+            _trunc(F.min("value")).alias("vmin"),
+            _trunc(F.max("value")).alias("vmax"),
+            _trunc(
+                _scaled_sum(F.col("value")).cast("double")
+                / (F.count("value") * 10000)
+            ).alias("vmean"),
+            F.count("value").alias("vcount"),
         )
 
     return q
 
 
 def _rollup_events_oracle(width: int) -> str:
+    vmean = _SQL_TRUNC.format(
+        x=f"CAST({_SQL_SCALED_SUM.format(x='value')} AS DOUBLE) / (count(value) * 10000)",
+        d=4,
+    )
     return f"""
         SELECT user_id,
                CAST(floor(epoch(ts)/{width})*{width} AS BIGINT) AS bucket,
-               round(min(value), 4) AS vmin,
-               round(max(value), 4) AS vmax,
-               round(avg(value), 4) AS vmean,
+               {_SQL_TRUNC.format(x='min(value)', d=4)} AS vmin,
+               {_SQL_TRUNC.format(x='max(value)', d=4)} AS vmax,
+               {vmean} AS vmean,
                count(value) AS vcount
         FROM events GROUP BY 1, 2
     """
@@ -181,7 +213,7 @@ def _tier_rollup_tokens_query(width: int, tokenizer):
             "bucket",
             "vmin",
             "vmax",
-            F.round(F.col("vsum") / F.col("vcount"), 4).alias("vmean"),
+            _trunc(F.col("vsum") / F.col("vcount")).alias("vmean"),
             "vcount",
         )
 
@@ -200,7 +232,7 @@ def _tier_rollup_tokens_oracle(width: int, tokens_expr: str) -> str:
                CAST(pos // {width} AS BIGINT) AS bucket,
                CAST(min(tok) AS DOUBLE) AS vmin,
                CAST(max(tok) AS DOUBLE) AS vmax,
-               round(avg(tok), 4) AS vmean,
+               floor((CAST(sum(tok) AS DOUBLE) / count(*)) * 1e4) / 1e4 AS vmean,
                count(*) AS vcount
         FROM toks GROUP BY 1, 2
     """
@@ -211,12 +243,14 @@ def _gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.operators.gapfill import gapfill
     from tersets_spark.operators.rollup import rollup_events
 
-    hourly = rollup_events(_events(spark, sf_dir), tier="1h").select(
-        F.col("user_id"), "bucket", "vmean"
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket")
+    hourly = ev.groupBy("user_id", bucket).agg(
+        (_scaled_sum(F.col("value")).cast("double") / (F.count("value") * 10000)).alias("vmean")
     )
     dense = gapfill(hourly, ["user_id"], 3600, ["vmean"], method="locf")
     return dense.select(
-        "user_id", "bucket", F.round("vmean", 4).alias("vmean"), "gap_filled"
+        "user_id", "bucket", _trunc(F.col("vmean")).alias("vmean"), "gap_filled"
     )
 
 
@@ -224,16 +258,17 @@ _GAPFILL_LOCF_ORACLE = """
     WITH hourly AS (
         SELECT user_id,
                CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
-               avg(value) AS vmean
+               CAST(SUM(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(value) * 10000) AS vmean
         FROM events GROUP BY 1, 2
     ), spine AS (
         SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
         FROM (SELECT user_id, min(bucket) lo, max(bucket) hi FROM hourly GROUP BY 1)
     )
     SELECT s.user_id, s.bucket,
-           round(last_value(h.vmean IGNORE NULLS) OVER (
+           floor(last_value(h.vmean IGNORE NULLS) OVER (
                PARTITION BY s.user_id ORDER BY s.bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS vmean,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4) / 1e4 AS vmean,
            h.vmean IS NULL AS gap_filled
     FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
 """
@@ -244,8 +279,10 @@ def _gapfill_linear_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tersets_spark.operators.gapfill import gapfill
     from tersets_spark.operators.rollup import rollup_events
 
-    daily = rollup_events(_events(spark, sf_dir), tier="1d").select(
-        "user_id", "bucket", "vmean"
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).alias("bucket")
+    daily = ev.groupBy("user_id", bucket).agg(
+        (_scaled_sum(F.col("value")).cast("double") / (F.count("value") * 10000)).alias("vmean")
     )
     dense = gapfill(daily, ["user_id"], 86400, ["vmean"], method="linear")
     # floor-truncation, not round: interpolation at frac=1/2 lands on
@@ -262,7 +299,8 @@ _GAPFILL_LINEAR_ORACLE = """
     WITH daily AS (
         SELECT user_id,
                CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
-               avg(value) AS vmean
+               CAST(SUM(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(value) * 10000) AS vmean
         FROM events GROUP BY 1, 2
     ), spine AS (
         SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS bucket
@@ -320,25 +358,26 @@ def _rollup_events_by_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from tersets_spark.operators.rollup import rollup_events
 
-    out = rollup_events(
-        _events(spark, sf_dir), tier="1d", key_cols=("user_id", "event_type")
-    )
-    return out.select(
-        "user_id",
-        "event_type",
-        "bucket",
-        F.round("vmin", 4).alias("vmin"),
-        F.round("vmax", 4).alias("vmax"),
-        F.round("vmean", 4).alias("vmean"),
-        "vcount",
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).alias("bucket")
+    return ev.groupBy("user_id", "event_type", bucket).agg(
+        _trunc(F.min("value")).alias("vmin"),
+        _trunc(F.max("value")).alias("vmax"),
+        _trunc(
+            _scaled_sum(F.col("value")).cast("double") / (F.count("value") * 10000)
+        ).alias("vmean"),
+        F.count("value").alias("vcount"),
     )
 
 
 _ROLLUP_BY_TYPE_ORACLE = """
     SELECT user_id, event_type,
            CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
-           round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
-           round(avg(value), 4) AS vmean, count(value) AS vcount
+           floor(min(value) * 1e4) / 1e4 AS vmin,
+           floor(max(value) * 1e4) / 1e4 AS vmax,
+           floor((CAST(SUM(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / (count(value) * 10000)) * 1e4) / 1e4 AS vmean,
+           count(value) AS vcount
     FROM events GROUP BY 1, 2, 3
 """
 
@@ -451,7 +490,7 @@ def _latest_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.unix_timestamp("ts").alias("ts_epoch"),
-        F.round("value", 4).alias("value"),
+        _trunc(F.col("value")).alias("value"),
     )
 
 
@@ -463,7 +502,7 @@ _LATEST_WINS_ORACLE = """
     )
     SELECT user_id, event_type,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
-           round(value, 4) AS value
+           floor(value * 1e4) / 1e4 AS value
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY user_id, event_type
@@ -510,13 +549,14 @@ _TEXTSTATS_ORACLE = r"""
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
-           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
-                 / greatest(length(text), 1), 6) AS punct_ratio,
-           round(length(regexp_replace(text, '\s', '', 'g'))
-                 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS mean_word_len,
-           round(len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+           floor((length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / greatest(length(text), 1)) * 1e6) / 1e6 AS punct_ratio,
+           floor((length(regexp_replace(text, '\s', '', 'g'))
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 1e6) / 1e6
+                 AS mean_word_len,
+           floor((len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
                  ['the','and','of','to','in','is','that','it','for','was']))
-                 / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 6)
+                 / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)) * 1e6) / 1e6
                  AS stopword_ratio_en
     FROM documents
 """
@@ -568,7 +608,7 @@ def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16).persist()
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    return pairs.select("id_a", "id_b", _trunc(F.col("jaccard")).alias("jaccard"))
 
 
 _MINHASH_JACCARD_ORACLE = """
@@ -580,8 +620,8 @@ _MINHASH_JACCARD_ORACLE = """
         FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+           floor((len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e4) / 1e4 AS jaccard
     FROM sh a, sh b
     WHERE a.doc_id < b.doc_id
       AND len(list_intersect(a.s, b.s))::DOUBLE

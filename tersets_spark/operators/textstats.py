@@ -89,14 +89,20 @@ def fingerprint(text_col: str = "text") -> F.Column:
     return F.xxhash64(F.trim(norm))
 
 
+def _trunc6(col: F.Column) -> F.Column:
+    # floor-truncation, not round: engines' round-half semantics can
+    # disagree on identical doubles at exact grid boundaries
+    return F.floor(col * 1000000) / 1000000
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         word_count(text_col).alias("n_words"),
         bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
-        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(mean_word_len(text_col), 6).alias("mean_word_len"),
-        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio_en"),
+        _trunc6(punct_ratio(text_col)).alias("punct_ratio"),
+        _trunc6(mean_word_len(text_col)).alias("mean_word_len"),
+        _trunc6(stopword_ratio(text_col)).alias("stopword_ratio_en"),
         fingerprint(text_col).alias("fingerprint"),
     )
