@@ -478,6 +478,53 @@ _TIER_PRUNE_ORACLE = """
 """
 
 
+def _tier_compact_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier compaction identity: rollup -> Chimp64/delta blocks ->
+    restore must reproduce every (doc, bucket, stat) bit-exactly."""
+    _prep(spark)
+    from tersets_spark.operators.retention import compact_tier, restore_tier
+    from tersets_spark.operators.rollup import rollup_tokens_base
+
+    roll = (
+        rollup_tokens_base(_char_tokens(spark, sf_dir), 60)
+        .select(
+            "doc_id",
+            "bucket",
+            "vmin",
+            "vmax",
+            (F.col("vsum") / F.col("vcount")).alias("vmean"),
+        )
+        .persist()
+    )
+    restored = restore_tier(compact_tier(roll))
+    wide = (
+        restored.groupBy("doc_id", "bucket")
+        .pivot("stat", ["vmin", "vmax", "vmean"])
+        .agg(F.first("value"))
+    )
+    joined = roll.alias("a").join(wide.alias("b"), ["doc_id", "bucket"])
+    return joined.select(
+        "doc_id",
+        "bucket",
+        (
+            (F.col("a.vmin") == F.col("b.vmin"))
+            & (F.col("a.vmax") == F.col("b.vmax"))
+            & (F.col("a.vmean") == F.col("b.vmean"))
+        ).alias("bit_exact"),
+    )
+
+
+_TIER_COMPACT_ORACLE = """
+    WITH toks AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               unnest(generate_series(0, length(text) - 1)) AS pos
+        FROM documents
+    )
+    SELECT doc_id, CAST(pos // 60 AS BIGINT) AS bucket, true AS bit_exact
+    FROM toks GROUP BY 1, 2
+"""
+
+
 def _latest_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union/dedup of partial runs: duplicate the events table (as a
     retried run would), keep the newest row per (user_id, event_type)."""
@@ -724,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events_by_type_1d": _rollup_events_by_type_query,
         "latest_wins_merge": _latest_wins_query,
         "tier_prune_1m": _tier_prune_query,
+        "tier_compact_roundtrip": _tier_compact_roundtrip_query,
         "roundtrip_delta": _roundtrip_query(Method.BitPackedDeltaEncoding),
         "roundtrip_chimp64": _roundtrip_query(Method.Chimp64),
         "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
@@ -783,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events_by_type_1d": _ROLLUP_BY_TYPE_ORACLE,
         "latest_wins_merge": _LATEST_WINS_ORACLE,
         "tier_prune_1m": _TIER_PRUNE_ORACLE,
+        "tier_compact_roundtrip": _TIER_COMPACT_ORACLE,
         "roundtrip_delta": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp64": _ROUNDTRIP_ORACLE,
         "roundtrip_chimp128": _ROUNDTRIP_ORACLE,
