@@ -71,6 +71,13 @@ def _trailing_zeros(u: np.ndarray) -> np.ndarray:
     return np.where(u == 0, 64, 63 - lz)
 
 
+def _pad_count(cnt: int, w: int) -> int:
+    """Values of width w padded so the section is byte-aligned:
+    count rounded up to a multiple of 8/gcd(w, 8)."""
+    g = 8 // np.gcd(w, 8)
+    return cnt + (-cnt) % g
+
+
 def _encode_xor_sections(xors: np.ndarray) -> list[bytes]:
     """Shared Chimp section encoder: flags, 12-bit (lz, tz) headers,
     significant-bit payload. Storing the trailing-zero count in the
@@ -78,34 +85,54 @@ def _encode_xor_sections(xors: np.ndarray) -> list[bytes]:
     chimp64.zig:47-122) keeps decimal-ish data compact: the payload is
     ``xor >> tz`` with width 64 - lz - tz.
 
-    The payload is GROUPED BY WIDTH (ascending; original order within a
-    group) so both directions run on the fixed-width fast path, and the
-    batch codec can pack whole width-groups of many rows at once."""
+    Layout rules shared with the batch codec: the payload is GROUPED BY
+    WIDTH (ascending; original order within a group) and every section's
+    value count is padded (with zeros) so its bit length is a byte
+    multiple — which is what lets the batch codec pack the same section
+    of MANY rows in one fixed-width call."""
     n = xors.size
     flags = (xors != 0).astype(np.uint64)
-    parts = [pack_bits(flags, 1) if n else b""]
+    fpad = _pad_count(n, 1)
+    parts = [
+        pack_bits(np.concatenate([flags, np.zeros(fpad - n, np.uint64)]), 1)
+        if n
+        else b""
+    ]
     changed = xors[xors != 0]
     if changed.size:
+        m = changed.size
         lz = _leading_zeros(changed)  # <= 63 since xor != 0
         tz = _trailing_zeros(changed)
         headers = (lz.astype(np.uint64) << np.uint64(6)) | tz.astype(np.uint64)
-        parts.append(pack_bits(headers, 12))
+        hpad = _pad_count(m, 12)
+        parts.append(
+            pack_bits(np.concatenate([headers, np.zeros(hpad - m, np.uint64)]), 12)
+        )
         sig = 64 - lz - tz  # in 1..64
         vals = changed >> tz.astype(np.uint64)
         for w in np.unique(sig):
-            parts.append(pack_bits(vals[sig == w], int(w)))
+            sel = vals[sig == w]
+            ppad = _pad_count(sel.size, int(w))
+            parts.append(
+                pack_bits(
+                    np.concatenate([sel, np.zeros(ppad - sel.size, np.uint64)]),
+                    int(w),
+                )
+            )
     return parts
 
 
 def _decode_xor_sections(buf: np.ndarray, n: int) -> tuple[np.ndarray, int, np.ndarray]:
     """Returns (xors, bytes_consumed, flags_bool) for n values."""
-    flags = unpack_bits(buf, np.full(n, 1, dtype=np.int64)).astype(bool)
-    pos = (n + 7) // 8
+    fpad = _pad_count(n, 1)
+    flags = unpack_bits(buf, np.full(fpad, 1, dtype=np.int64))[:n].astype(bool)
+    pos = fpad // 8
     xors = np.zeros(n, dtype=np.uint64)
     m = int(flags.sum())
     if m:
-        headers = unpack_bits(buf[pos:], np.full(m, 12, dtype=np.int64))
-        pos += (12 * m + 7) // 8
+        hpad = _pad_count(m, 12)
+        headers = unpack_bits(buf[pos:], np.full(hpad, 12, dtype=np.int64))[:m]
+        pos += hpad * 12 // 8
         lz = (headers >> np.uint64(6)).astype(np.int64)
         tz = (headers & np.uint64(0x3F)).astype(np.int64)
         sig = 64 - lz - tz
@@ -113,8 +140,9 @@ def _decode_xor_sections(buf: np.ndarray, n: int) -> tuple[np.ndarray, int, np.n
         for w in np.unique(sig):
             mask = sig == w
             cnt = int(mask.sum())
-            vals[mask] = unpack_bits(buf[pos:], np.full(cnt, int(w), np.int64))
-            pos += (int(w) * cnt + 7) // 8
+            ppad = _pad_count(cnt, int(w))
+            vals[mask] = unpack_bits(buf[pos:], np.full(ppad, int(w), np.int64))[:cnt]
+            pos += ppad * int(w) // 8
         xors[flags] = vals << tz.astype(np.uint64)
     return xors, pos, flags
 
@@ -147,6 +175,254 @@ def decompress_chimp64(payload: bytes) -> np.ndarray:
     np.bitwise_xor.accumulate(xors, out=xors)
     bits[1:] = xors ^ first
     return bits.view(np.float64)
+
+
+_CHIMP64_BYTE = 19
+
+
+def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Batched Chimp64: many float series in a handful of numpy passes.
+
+    Produces exactly the per-row blob :func:`compress_chimp64` produces
+    (the padded-section layout above makes every section of every row a
+    whole number of bytes, so each section kind packs GLOBALLY with one
+    fixed-width call and per-row byte slices fall out of cumsum).
+    """
+    from .bitstream import segment_intra_indices
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_rows = offsets.size - 1
+    lens = np.diff(offsets)
+    bits = np.ascontiguousarray(flat, dtype=np.float64).view(np.uint64)
+    blobs: list[bytes | None] = [None] * n_rows
+    big = np.flatnonzero(lens >= 2)
+    for r in np.flatnonzero(lens == 1):
+        blobs[r] = flat[offsets[r] : offsets[r] + 1].tobytes() + bytes([0])
+    for r in np.flatnonzero(lens == 0):
+        blobs[r] = b""
+    if big.size == 0:
+        return blobs  # type: ignore[return-value]
+    # per-row xors (drop cross-row deltas)
+    x_all = bits[1:] ^ bits[:-1] if bits.size > 1 else np.empty(0, np.uint64)
+    row_of = np.repeat(np.arange(n_rows), lens)
+    keep = row_of[1:] == row_of[:-1] if row_of.size > 1 else np.empty(0, bool)
+    xors = x_all[keep]  # concatenated per-row xor streams (m_r = len_r - 1)
+    m_r = np.maximum(lens - 1, 0)
+    x_off = np.concatenate(([0], np.cumsum(m_r)))
+    xrow = np.repeat(np.arange(n_rows), m_r)
+    # ---- flags section: global fixed-width pack, per-row padded to x8
+    fpad = m_r + (-m_r) % 8
+    fvals = np.zeros(int(fpad.sum()), dtype=np.uint64)
+    dst = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], m_r) + (
+        segment_intra_indices(m_r)
+    )
+    fvals[dst] = (xors != 0).astype(np.uint64)
+    flags_packed = memoryview(pack_bits(fvals, 1))
+    f_bytes = fpad // 8
+    f_boff = np.concatenate(([0], np.cumsum(f_bytes)))
+    # ---- headers section
+    ch = np.flatnonzero(xors != 0)
+    changed = xors[ch]
+    crow = xrow[ch]
+    c_r = np.bincount(crow, minlength=n_rows).astype(np.int64)
+    c_off = np.concatenate(([0], np.cumsum(c_r)))
+    lz = _leading_zeros(changed)
+    tz = _trailing_zeros(changed)
+    sig = (64 - lz - tz).astype(np.int64)
+    vals = changed >> tz.astype(np.uint64)
+    headers = (lz.astype(np.uint64) << np.uint64(6)) | tz.astype(np.uint64)
+    hpad = c_r + (-c_r) % 2
+    hvals = np.zeros(int(hpad.sum()), dtype=np.uint64)
+    dst = np.repeat(np.concatenate(([0], np.cumsum(hpad)))[:-1], c_r) + (
+        segment_intra_indices(c_r)
+    )
+    hvals[dst] = headers
+    headers_packed = memoryview(pack_bits(hvals, 12))
+    h_bytes = hpad * 12 // 8
+    h_boff = np.concatenate(([0], np.cumsum(h_bytes)))
+    # ---- payload: per width, pack all rows' cells at once
+    # cells keyed (row, width); values within a cell keep original order
+    payload_parts: dict[int, list[bytes]] = {r: [] for r in range(n_rows)}
+    if ch.size:
+        order = np.lexsort((np.arange(ch.size), sig, crow))  # (row, w, pos)
+        s_sig = sig[order]
+        s_row = crow[order]
+        s_val = vals[order]
+        # cell boundaries in the sorted stream
+        cell_break = np.flatnonzero(
+            (s_sig[1:] != s_sig[:-1]) | (s_row[1:] != s_row[:-1])
+        ) + 1
+        cstarts = np.concatenate(([0], cell_break))
+        cends = np.concatenate((cell_break, [s_sig.size]))
+        c_w = s_sig[cstarts]
+        c_rw = s_row[cstarts]
+        c_cnt = cends - cstarts
+        for w in np.unique(c_w):
+            wsel = np.flatnonzero(c_w == w)
+            cnts = c_cnt[wsel]
+            pads = np.array([_pad_count(int(c), int(w)) for c in cnts], dtype=np.int64)
+            gv = np.zeros(int(pads.sum()), dtype=np.uint64)
+            dst = np.repeat(np.concatenate(([0], np.cumsum(pads)))[:-1], cnts) + (
+                segment_intra_indices(cnts)
+            )
+            src = np.repeat(cstarts[wsel], cnts) + segment_intra_indices(cnts)
+            gv[dst] = s_val[src]
+            packed = memoryview(pack_bits(gv, int(w)))
+            b_off = np.concatenate(([0], np.cumsum(pads * int(w) // 8)))
+            for k, ci in enumerate(wsel):
+                payload_parts[int(c_rw[ci])].append(
+                    bytes(packed[b_off[k] : b_off[k + 1]])
+                )
+    # NB: payload cells appended per width ASCENDING because np.unique is
+    # sorted and cells within a width were visited in row order — but a
+    # row's cells must be ordered by ITS widths ascending, which this
+    # gives since each row receives its cells as widths iterate upward.
+    # ---- assemble rows
+    head = np.zeros((n_rows, 12), dtype=np.uint8)
+    head[:, 0:4] = lens.astype(np.uint32)[:, None].view(np.uint8)
+    firsts = np.zeros(n_rows, dtype=np.uint64)
+    firsts[lens > 0] = bits[offsets[:-1][lens > 0]]
+    head[:, 4:12] = firsts[:, None].view(np.uint8)
+    tail = bytes([_CHIMP64_BYTE])
+    for r in big:
+        blobs[r] = (
+            head[r].tobytes()
+            + bytes(flags_packed[f_boff[r] : f_boff[r + 1]])
+            + bytes(headers_packed[h_boff[r] : h_boff[r + 1]])
+            + b"".join(payload_parts[r])
+            + tail
+        )
+    return blobs  # type: ignore[return-value]
+
+
+def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched inverse of :func:`compress_batch`; Chimp64 blobs decode in
+    a few global passes, anything else falls back per row."""
+    from . import registry
+    from .bitstream import segment_intra_indices
+
+    n_rows = len(blobs)
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    blob_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n_rows)
+    blob_off = np.concatenate(([0], np.cumsum(blob_lens)))
+    is_c64 = np.zeros(n_rows, dtype=bool)
+    idx = np.flatnonzero(blob_lens >= 13)
+    if idx.size:
+        is_c64[idx] = buf[blob_off[idx + 1] - 1] == _CHIMP64_BYTE
+    counts = np.zeros(n_rows, dtype=np.int64)
+    out_parts: dict[int, np.ndarray] = {}
+    sel = np.flatnonzero(is_c64)
+    if sel.size:
+        starts = blob_off[sel]
+        hidx = starts[:, None] + np.arange(12)[None, :]
+        head = buf[hidx]
+        counts[sel] = head[:, 0:4].copy().view(np.uint32).ravel().astype(np.int64)
+        firsts = head[:, 4:12].copy().view(np.uint64).ravel()
+        n_r = counts[sel]
+        m_r = np.maximum(n_r - 1, 0)
+        # flags
+        fpad = m_r + (-m_r) % 8
+        f_bytes = fpad // 8
+        f_starts = starts + 12
+        gidx = np.repeat(f_starts, f_bytes) + segment_intra_indices(f_bytes)
+        fbits = unpack_bits(buf[gidx], np.full(int(fpad.sum()), 1, np.int64))
+        # drop per-row pads
+        src = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], m_r) + (
+            segment_intra_indices(m_r)
+        )
+        flags = fbits[src].astype(bool)
+        x_off = np.concatenate(([0], np.cumsum(m_r)))
+        xrow_l = np.repeat(np.arange(sel.size), m_r)
+        # headers
+        c_r = np.zeros(sel.size, dtype=np.int64)
+        if flags.size:
+            c_r = np.bincount(xrow_l[flags], minlength=sel.size).astype(np.int64)
+        hpad = c_r + (-c_r) % 2
+        h_bytes = hpad * 12 // 8
+        h_starts = f_starts + f_bytes
+        gidx = np.repeat(h_starts, h_bytes) + segment_intra_indices(h_bytes)
+        hbits = unpack_bits(buf[gidx], np.full(int(hpad.sum()), 12, np.int64))
+        src = np.repeat(np.concatenate(([0], np.cumsum(hpad)))[:-1], c_r) + (
+            segment_intra_indices(c_r)
+        )
+        headers = hbits[src]
+        lz = (headers >> np.uint64(6)).astype(np.int64)
+        tz = (headers & np.uint64(0x3F)).astype(np.int64)
+        sig = 64 - lz - tz
+        crow = np.repeat(np.arange(sel.size), c_r)
+        # payload cells (row-major changed order; cells sorted by width
+        # within each row)
+        vals = np.empty(sig.size, dtype=np.uint64)
+        if sig.size:
+            order = np.lexsort((np.arange(sig.size), sig, crow))
+            s_sig = sig[order]
+            s_row = crow[order]
+            cell_break = np.flatnonzero(
+                (s_sig[1:] != s_sig[:-1]) | (s_row[1:] != s_row[:-1])
+            ) + 1
+            cstarts = np.concatenate(([0], cell_break))
+            c_w = s_sig[cstarts]
+            c_rw = s_row[cstarts]
+            c_cnt = np.concatenate((cell_break, [s_sig.size])) - cstarts
+            c_pad = np.array(
+                [_pad_count(int(c), int(w)) for c, w in zip(c_cnt, c_w)], dtype=np.int64
+            )
+            c_bytes = c_pad * c_w // 8
+            # absolute byte start of each cell: row payload start + within-row
+            # cumsum (cells are already sorted (row, w))
+            p_starts = h_starts + h_bytes  # per selected row
+            within = np.cumsum(c_bytes) - c_bytes
+            row_first_cell = np.concatenate(
+                ([0], np.cumsum(np.bincount(c_rw, minlength=sel.size)))
+            )[:-1]
+            within = within - within[row_first_cell][c_rw]
+            c_abs = p_starts[c_rw] + within
+            sval = np.empty(s_sig.size, dtype=np.uint64)
+            for w in np.unique(c_w):
+                wsel = np.flatnonzero(c_w == w)
+                pads = c_pad[wsel]
+                gidx = np.repeat(c_abs[wsel], c_bytes[wsel]) + segment_intra_indices(
+                    c_bytes[wsel]
+                )
+                gv = unpack_bits(buf[gidx], np.full(int(pads.sum()), int(w), np.int64))
+                src = np.repeat(np.concatenate(([0], np.cumsum(pads)))[:-1], c_cnt[wsel]) + (
+                    segment_intra_indices(c_cnt[wsel])
+                )
+                dst = np.repeat(cstarts[wsel], c_cnt[wsel]) + segment_intra_indices(
+                    c_cnt[wsel]
+                )
+                sval[dst] = gv[src]
+            vals[order] = sval
+        xors = np.zeros(flags.size, dtype=np.uint64)
+        xors[flags] = vals << tz.astype(np.uint64)
+        # per-row prefix-xor with row resets
+        if xors.size:
+            G = np.bitwise_xor.accumulate(xors)
+            g_before = np.zeros(sel.size, dtype=np.uint64)
+            nz_rows = m_r > 0
+            row_start = x_off[:-1]
+            prev_idx = row_start - 1
+            g_before[nz_rows & (row_start > 0)] = G[
+                prev_idx[nz_rows & (row_start > 0)]
+            ]
+            within = G ^ np.repeat(g_before, m_r)
+            series_bits = np.repeat(firsts, m_r) ^ within
+        else:
+            series_bits = np.empty(0, dtype=np.uint64)
+        for k, r in enumerate(sel):
+            part = np.empty(counts[r], dtype=np.uint64)
+            part[0] = firsts[k]
+            part[1:] = series_bits[x_off[k] : x_off[k + 1]]
+            out_parts[r] = part.view(np.float64)
+    for r in np.flatnonzero(~is_c64):
+        out_parts[r] = registry.decompress(bytes(blobs[r]))
+        counts[r] = out_parts[r].size
+    flat = (
+        np.concatenate([out_parts[r] for r in range(n_rows)])
+        if n_rows
+        else np.empty(0, dtype=np.float64)
+    )
+    return flat, np.concatenate(([0], np.cumsum(counts)))
 
 
 def _chimp128_predictors(bits: np.ndarray) -> np.ndarray:

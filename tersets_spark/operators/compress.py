@@ -77,25 +77,16 @@ def compress_blocks(
     )
 
     def compress_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.batch import compress_batch
+
         m = Method(method_code)
         for pdf in batches:
-            if m == Method.BitPackedDeltaEncoding and len(pdf):
-                # batched kernel: one numpy pass over the whole batch
-                from ..kernels.delta import compress_batch
-
-                arrays = [
-                    np.asarray(t, dtype=np.float64) for t in pdf["chunk_tokens"]
-                ]
-                flat = np.concatenate(arrays) if arrays else np.empty(0)
-                offs = np.concatenate(
-                    ([0], np.cumsum([a.size for a in arrays]))
-                ).astype(np.int64)
-                blobs = compress_batch(flat, offs)
-            else:
-                blobs = [
-                    registry.compress(np.asarray(t, dtype=np.float64), m, cfg)
-                    for t in pdf["chunk_tokens"]
-                ]
+            arrays = [np.asarray(t, dtype=np.float64) for t in pdf["chunk_tokens"]]
+            flat = np.concatenate(arrays) if arrays else np.empty(0)
+            offs = np.concatenate(([0], np.cumsum([a.size for a in arrays]))).astype(
+                np.int64
+            )
+            blobs = compress_batch(flat, offs, m, cfg)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -119,7 +110,7 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
     tokens array<int32>)`` chunk rows (row-local, no shuffle)."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.delta import decompress_batch
+        from ..kernels.batch import decompress_batch
 
         for pdf in batches:
             # batched decode (delta fast path in one unpack; other

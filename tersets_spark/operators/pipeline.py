@@ -107,10 +107,10 @@ def fused_compress_rollup(
             c_starts = row_off[:-1][rows_of_chunk] + intra_c * chunk
             c_ends = np.minimum(c_starts + chunk, row_off[1:][rows_of_chunk])
             chunk_off = np.concatenate((c_starts, [fflat.size]))
-            if m == Method.BitPackedDeltaEncoding:
-                from ..kernels.delta import compress_batch, decompress_batch
+            if m in (Method.BitPackedDeltaEncoding, Method.Chimp64) and not cfg:
+                from ..kernels.batch import compress_batch, decompress_batch
 
-                blobs = compress_batch(fflat, chunk_off)
+                blobs = compress_batch(fflat, chunk_off, m)
                 rt_flat, rt_off = decompress_batch(blobs)
                 eq = (
                     rt_flat.view(np.uint64) == fflat.view(np.uint64)

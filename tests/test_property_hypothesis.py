@@ -91,3 +91,23 @@ def test_delta_batch_matches_single(rows):
         assert np.array_equal(decompress(bytes(b)), a)
     f2, o2 = decompress_batch(blobs)
     assert np.array_equal(o2, offs) and np.array_equal(f2, flat)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=0, max_size=200), min_size=1, max_size=15))
+def test_chimp_batch_matches_single(rows):
+    """chimp.compress_batch blobs are byte-identical to the single-series
+    encoder and batch-decode bitwise, for ANY floats incl. NaN/Inf."""
+    from tersets_spark.kernels import chimp
+
+    arrays = [np.asarray(r, dtype=np.float64) for r in rows]
+    flat = np.concatenate(arrays) if arrays else np.empty(0)
+    offs = np.concatenate(([0], np.cumsum([a.size for a in arrays]))).astype(np.int64)
+    blobs = chimp.compress_batch(flat, offs)
+    for a, b in zip(arrays, blobs):
+        assert bytes(b) == compress(a, Method.Chimp64)
+        out = decompress(bytes(b))
+        assert np.array_equal(out.view(np.uint64), a.view(np.uint64))
+    f2, o2 = chimp.decompress_batch(blobs)
+    assert np.array_equal(o2, offs)
+    assert np.array_equal(f2.view(np.uint64), flat.view(np.uint64))
