@@ -101,50 +101,45 @@ def compact_tier(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..kernels import registry
+        from ..kernels.batch import compress_batch
         from ..methods import Method as M
 
         m = M(method_code)
         delta = M.BitPackedDeltaEncoding
         for pdf in batches:
-            out = {
-                k: []
-                for k in (
-                    "doc_id",
-                    "stat",
-                    "blob",
-                    "bucket_blob",
-                    "n_buckets",
-                    "first_bucket",
+            n = len(pdf)
+            if not n:
+                continue
+            # batch the bucket axes (delta) and every stat column (m)
+            # across the whole Arrow batch in one codec call each
+            barrs = [np.asarray(b, dtype=np.float64) for b in pdf["_buckets"]]
+            boffs = np.concatenate(([0], np.cumsum([a.size for a in barrs])))
+            bblobs = compress_batch(
+                np.concatenate(barrs) if barrs else np.empty(0), boffs, delta
+            )
+            stat_blobs: dict[str, list[bytes]] = {}
+            for s in stats:
+                arrs = [np.asarray(x, dtype=np.float64) for x in pdf[s]]
+                offs = np.concatenate(([0], np.cumsum([a.size for a in arrs])))
+                stat_blobs[s] = compress_batch(
+                    np.concatenate(arrs) if arrs else np.empty(0), offs, m
                 )
-            }
-            cols = [pdf["doc_id"], pdf["first_bucket"], pdf["_buckets"]] + [
-                pdf[s] for s in stats
-            ]
-            for doc_id, first_bucket, buckets, *stat_vals in zip(*cols):
-                # the (possibly sparse) bucket axis rides along as a
-                # delta-of-delta blob so restore needs no density assumption
-                bblob = registry.compress(
-                    np.asarray(buckets, dtype=np.float64), delta
-                )
-                for s, sv in zip(stats, stat_vals):
-                    v = np.asarray(sv, dtype=np.float64)
-                    out["doc_id"].append(doc_id)
-                    out["stat"].append(s)
-                    out["blob"].append(registry.compress(v, m))
-                    out["bucket_blob"].append(bblob)
-                    out["n_buckets"].append(v.size)
-                    out["first_bucket"].append(first_bucket)
+            doc_rep = np.repeat(pdf["doc_id"].to_numpy(), len(stats))
+            fb_rep = np.repeat(pdf["first_bucket"].to_numpy(), len(stats))
+            nb_rep = np.repeat(pdf["n_buckets"].to_numpy(), len(stats))
+            blob_col = [stat_blobs[s][i] for i in range(n) for s in stats]
             yield pd.DataFrame(
                 {
-                    "doc_id": out["doc_id"],
-                    "stat": out["stat"],
+                    "doc_id": doc_rep,
+                    "stat": list(stats) * n,
                     "method": np.int8(method_code),
-                    "blob": out["blob"],
-                    "bucket_blob": out["bucket_blob"],
-                    "n_buckets": np.asarray(out["n_buckets"], dtype=np.int32),
-                    "first_bucket": np.asarray(out["first_bucket"], dtype=np.int64),
-                    "bytes": np.asarray([len(b) for b in out["blob"]], dtype=np.int32),
+                    "blob": blob_col,
+                    "bucket_blob": [bblobs[i] for i in range(n) for _ in stats],
+                    "n_buckets": nb_rep.astype(np.int32),
+                    "first_bucket": fb_rep.astype(np.int64),
+                    "bytes": np.asarray(
+                        [len(b) for b in blob_col], dtype=np.int32
+                    ),
                 }
             )
 
