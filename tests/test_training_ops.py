@@ -1,0 +1,108 @@
+"""Training-pipeline operators: similarity recall, embedding near-dups,
+language guess, latest-wins merge."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, n=120, dim=16, seed=3, dup_pairs=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    for k in range(dup_pairs):  #近-duplicates: tiny perturbations
+        vecs[n - 1 - k] = vecs[k] + rng.normal(0, 1e-3, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), vecs
+
+
+def _clustered_emb_df(spark, n=120, dim=16, k=8, seed=4):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim))
+    vecs = centers[np.arange(n) % k] + rng.normal(0, 0.15, (n, dim))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_topk_recall_vs_brute(spark):
+    """On clustered embeddings (the realistic ANN workload) hyperplane
+    LSH with 1-bit multi-probe should find almost every rank-1
+    neighbor; unstructured gaussian data is its documented weak case."""
+    from tersets_spark.operators.similarity import brute_topk_sql, lsh_topk
+
+    emb = _clustered_emb_df(spark)
+    queries = emb.filter(F.col("vec_id") < 15)
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_topk_sql(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsh_topk(emb, queries, k=3, n_planes=6).collect()
+    }
+    hits = sum(
+        1 for q in range(15) if approx.get((q, 1)) == brute.get((q, 1))
+    )
+    assert hits >= 13, f"rank-1 recall too low: {hits}/15"
+
+
+def test_embedding_near_dups_finds_planted_pairs(spark):
+    from tersets_spark.operators.dedup import embedding_near_dups
+
+    emb, _ = _emb_df(spark, dup_pairs=5)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            emb, vec_col="embedding", id_col="vec_id", threshold=0.999
+        ).collect()
+    }
+    planted = {(k, 119 - k) for k in range(5)}
+    assert planted <= pairs, f"missed planted near-dups: {planted - pairs}"
+
+
+def test_brute_topk_numpy_matches_sql(spark):
+    from tersets_spark.operators.similarity import brute_topk_numpy, brute_topk_sql
+
+    emb, vecs = _emb_df(spark, n=60)
+    queries = emb.filter(F.col("vec_id") < 10)
+    sql_res = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_topk_sql(emb, queries, k=4).collect()
+    }
+    np_res = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_topk_numpy(
+            emb,
+            vecs[:10].astype(np.float64),
+            np.arange(10),
+            k=4,
+        ).collect()
+    }
+    assert sql_res == np_res
+
+
+def test_lang_guess(spark):
+    from tersets_spark.operators.textstats import lang_guess
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy for a while"),
+        (2, "der hund ist nicht mit der katze und das ist gut so"),
+        (3, "le chat est sur la table et il est content pour un moment"),
+        (4, "el perro y el gato es que una casa en la calle"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_guess().alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_latest_wins_merges_frames(spark):
+    from tersets_spark.operators.upsert import latest_wins
+
+    a = spark.createDataFrame(
+        [("k1", 1, 10.0), ("k2", 1, 20.0)], "key string, ver int, val double"
+    )
+    b = spark.createDataFrame(
+        [("k1", 2, 11.0), ("k3", 1, 30.0)], "key string, ver int, val double"
+    )
+    out = {r.key: (r.ver, r.val) for r in latest_wins(a, ["key"], "ver", b).collect()}
+    assert out == {"k1": (2, 11.0), "k2": (1, 20.0), "k3": (1, 30.0)}
