@@ -29,37 +29,56 @@ from .segmentation import finite_runs
 _FAMILIES = 5
 
 
+def _ls2(u: np.ndarray, y: np.ndarray):
+    """Closed-form 2-parameter least squares y ~ a + b*u (normal
+    equations; ~10x cheaper than np.linalg.lstsq per probe)."""
+    n = u.size
+    su = u.sum()
+    suu = float(u @ u)
+    sy = y.sum()
+    suy = float(u @ y)
+    den = n * suu - su * su
+    if den == 0:
+        return float(y.mean()), 0.0
+    b = (n * suy - su * sy) / den
+    a = (sy - b * su) / n
+    return float(a), float(b)
+
+
 def _fit_eval(fam: int, x: np.ndarray, y: np.ndarray):
     """Least-squares fit of one family; returns (params, yhat) or None
     if the family is inapplicable."""
     try:
         if fam == 0:
-            A = np.vstack([np.ones_like(x), x]).T
-            p, *_ = np.linalg.lstsq(A, y, rcond=None)
-            return (p[0], p[1], 0.0), A @ p
+            a, b = _ls2(x, y)
+            return (a, b, 0.0), a + b * x
         if fam == 1:
-            A = np.vstack([np.ones_like(x), x, x * x]).T
-            p, *_ = np.linalg.lstsq(A, y, rcond=None)
-            return (p[0], p[1], p[2]), A @ p
+            # 3-param normal equations on the Vandermonde sums
+            x2 = x * x
+            n = x.size
+            s1, s2 = x.sum(), x2.sum()
+            s3, s4 = float(x @ x2), float(x2 @ x2)
+            sy, sxy, sx2y = y.sum(), float(x @ y), float(x2 @ y)
+            A = np.array([[n, s1, s2], [s1, s2, s3], [s2, s3, s4]])
+            rhs = np.array([sy, sxy, sx2y])
+            p = np.linalg.solve(A, rhs)
+            return (p[0], p[1], p[2]), p[0] + p[1] * x + p[2] * x2
         if fam == 2:
             if (y <= 0).any():
                 return None
-            ly = np.log(y)
-            A = np.vstack([np.ones_like(x), x]).T
-            p, *_ = np.linalg.lstsq(A, ly, rcond=None)
-            a, b = float(np.exp(p[0])), float(p[1])
+            la, b = _ls2(x, np.log(y))
+            a = float(np.exp(la))
             return (a, b, 0.0), a * np.exp(b * x)
         if fam == 3:
-            A = np.vstack([np.ones_like(x), np.sqrt(x)]).T
-            p, *_ = np.linalg.lstsq(A, y, rcond=None)
-            return (p[0], p[1], 0.0), A @ p
+            sx = np.sqrt(x)
+            a, b = _ls2(sx, y)
+            return (a, b, 0.0), a + b * sx
         if fam == 4:
             if (y <= 0).any():
                 return None
-            lx, ly = np.log(x + 1), np.log(y)
-            A = np.vstack([np.ones_like(lx), lx]).T
-            p, *_ = np.linalg.lstsq(A, ly, rcond=None)
-            a, b = float(np.exp(p[0])), float(p[1])
+            lx = np.log(x + 1)
+            la, b = _ls2(lx, np.log(y))
+            a = float(np.exp(la))
             return (a, b, 0.0), a * np.power(x + 1, b)
     except np.linalg.LinAlgError:
         return None
@@ -85,21 +104,29 @@ def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
     """Greedy: doubling probe for the longest prefix any family fits
     within eps; returns (end_exclusive, family, params)."""
     best = (s + 1, 0, (float(v[s]), 0.0, 0.0))
-    length = 2
-    last_good = None
-    while True:
-        hi = min(s + length, e)
-        x = np.arange(hi - s, dtype=np.float64)
-        y = v[s:hi]
-        good = None
-        for fam in range(_FAMILIES):
+    fam_order = list(range(_FAMILIES))
+
+    def probe(length: int):
+        x = np.arange(length, dtype=np.float64)
+        y = v[s : s + length]
+        for fam in fam_order:
             fit = _fit_eval(fam, x, y)
             if fit is None:
                 continue
             params, yhat = fit
             if np.abs(y - yhat).max() <= eps:
-                good = (hi, fam, tuple(float(p) for p in params))
-                break
+                # try the last winning family first on the next probe
+                if fam_order[0] != fam:
+                    fam_order.remove(fam)
+                    fam_order.insert(0, fam)
+                return (s + length, fam, tuple(float(p) for p in params))
+        return None
+
+    length = 2
+    last_good = None
+    while True:
+        hi = min(s + length, e)
+        good = probe(hi - s)
         if good is None:
             break
         last_good = good
@@ -113,17 +140,7 @@ def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
     hi_len = min(2 * lo_len, e - s)
     while lo_len < hi_len:
         mid = (lo_len + hi_len + 1) // 2
-        x = np.arange(mid, dtype=np.float64)
-        y = v[s : s + mid]
-        good = None
-        for fam in range(_FAMILIES):
-            fit = _fit_eval(fam, x, y)
-            if fit is None:
-                continue
-            params, yhat = fit
-            if np.abs(y - yhat).max() <= eps:
-                good = (s + mid, fam, tuple(float(p) for p in params))
-                break
+        good = probe(mid)
         if good is not None:
             last_good = good
             lo_len = mid
