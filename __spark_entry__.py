@@ -32,19 +32,34 @@ _PKG_SHIPPED: set[int] = set()
 
 def _ensure_pkg(spark: SparkSession) -> None:
     """Ship tersets_spark to executor Python workers via addPyFile so
-    UDF kernels import regardless of the driver's cwd/PYTHONPATH."""
+    UDF kernels import regardless of the driver's cwd/PYTHONPATH.
+
+    The zip name is keyed on the package contents (path+size+mtime
+    digest) — a stale cached zip would otherwise ship OLD code to the
+    workers after any source change."""
+    import hashlib
+
     key = id(spark.sparkContext)
     if key in _PKG_SHIPPED:
         return
-    zpath = os.path.join("/tmp", "tersets_spark_pkg.zip")
+    src = os.path.join(_REPO, "tersets_spark")
+    entries = []
+    for root, _dirs, files in os.walk(src):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                entries.append((full, st.st_size, int(st.st_mtime)))
+    digest = hashlib.blake2b(
+        repr(sorted(entries)).encode(), digest_size=8
+    ).hexdigest()
+    zpath = os.path.join("/tmp", f"tersets_spark_pkg_{digest}.zip")
     if not os.path.exists(zpath):
-        src = os.path.join(_REPO, "tersets_spark")
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(src):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, _REPO))
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, _sz, _mt in entries:
+                zf.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:
