@@ -372,10 +372,12 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
             # cumsum (cells are already sorted (row, w))
             p_starts = h_starts + h_bytes  # per selected row
             within = np.cumsum(c_bytes) - c_bytes
-            row_first_cell = np.concatenate(
-                ([0], np.cumsum(np.bincount(c_rw, minlength=sel.size)))
-            )[:-1]
-            within = within - within[row_first_cell][c_rw]
+            # rebase at each row's FIRST cell (rows with zero cells have
+            # no entries here, so index by cell runs, not by row id)
+            row_change = np.concatenate(([True], c_rw[1:] != c_rw[:-1]))
+            first_idx = np.flatnonzero(row_change)
+            run_len = np.diff(np.append(first_idx, c_rw.size))
+            within = within - np.repeat(within[first_idx], run_len)
             c_abs = p_starts[c_rw] + within
             sval = np.empty(s_sig.size, dtype=np.uint64)
             for w in np.unique(c_w):
