@@ -174,18 +174,21 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     lens = np.diff(offsets)
     with np.errstate(invalid="ignore"):
         int_ok = np.isfinite(flat) & (np.abs(flat) < 2**62) & (flat == np.floor(flat))
-    if flat.size:
-        # clip start indices of empty rows (their garbage result is
-        # masked by the lens >= 2 condition)
-        safe_starts = np.minimum(offsets[:-1], flat.size - 1)
-        row_ok = np.minimum.reduceat(int_ok, safe_starts) & (lens >= 2)
-    else:
-        row_ok = np.zeros(n_rows, dtype=bool)
+    # BITWISE round-trip gate, mirroring the single-series _find_scale:
+    # the de-scaled integer must reproduce the original f64 bit pattern,
+    # so -0.0 (int 0 -> +0.0) escapes to the fallback encoder.
+    probe = np.where(int_ok, flat, 0.0).astype(np.int64)
+    int_ok &= probe.astype(np.float64).view(np.uint64) == flat.view(np.uint64)
+    # row validity via prefix-sum of violations — exact for empty rows at
+    # any position (reduceat clips offsets at flat.size-1 and would leak
+    # the last element out of the final non-empty row's check)
+    c = np.concatenate(([0], np.cumsum(~int_ok)))
+    row_ok = (c[offsets[1:]] == c[offsets[:-1]]) & (lens >= 2)
     blobs: list[bytes | None] = [None] * n_rows
     # ---- vectorized all-int rows ----
     ok_rows = np.flatnonzero(row_ok)
     if ok_rows.size:
-        ints = flat.astype(np.int64)
+        ints = probe  # int64 view of flat, 0 at non-ok slots (unused rows)
         d_all = ints[1:] - ints[:-1] if ints.size > 1 else np.zeros(0, np.int64)
         d_lens = np.maximum(lens - 1, 0)
         # keep only deltas whose endpoints are in the same row (exact for

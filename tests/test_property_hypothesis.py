@@ -93,6 +93,51 @@ def test_delta_batch_matches_single(rows):
     assert np.array_equal(o2, offs) and np.array_equal(f2, flat)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(any_floats, min_size=0, max_size=120),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_delta_batch_any_floats_bitwise(rows):
+    """Mixed-mode / fallback boundary of compress_batch: NaN, ±Inf, -0.0,
+    fractional values, and empty rows anywhere (incl. at the END of the
+    batch) must produce blobs bitwise-identical to the single-series
+    encoder and batch-decode bitwise."""
+    from tersets_spark.kernels.delta import compress_batch, decompress_batch
+
+    arrays = [np.asarray(r, dtype=np.float64) for r in rows]
+    flat = np.concatenate(arrays) if arrays else np.empty(0)
+    offs = np.concatenate(([0], np.cumsum([a.size for a in arrays]))).astype(np.int64)
+    blobs = compress_batch(flat, offs)
+    for a, b in zip(arrays, blobs):
+        out = decompress(bytes(b))
+        assert np.array_equal(out.view(np.uint64), a.view(np.uint64))
+    f2, o2 = decompress_batch(blobs)
+    assert np.array_equal(o2, offs)
+    assert np.array_equal(f2.view(np.uint64), flat.view(np.uint64))
+
+
+def test_delta_batch_advice_counterexamples():
+    """Pinned regressions from the round-1 review: trailing empty row
+    clipped reduceat validity; -0.0 admitted to the all-int path."""
+    from tersets_spark.kernels.delta import compress_batch, decompress_batch
+
+    cases = [
+        (np.array([1.0, 0.5]), np.array([0, 2, 2])),
+        (np.array([1.0, np.nan]), np.array([0, 2, 2, 2])),
+        (np.array([1.0, -0.0, 2.0]), np.array([0, 3])),
+        (np.array([-0.0]), np.array([0, 0, 1, 1])),
+    ]
+    for flat, offs in cases:
+        blobs = compress_batch(flat, offs.astype(np.int64))
+        f2, o2 = decompress_batch(blobs)
+        assert np.array_equal(o2, offs)
+        assert np.array_equal(f2.view(np.uint64), flat.view(np.uint64))
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=0, max_size=200), min_size=1, max_size=15))
 def test_chimp_batch_matches_single(rows):
