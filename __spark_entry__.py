@@ -217,6 +217,62 @@ _BOUND_ORACLE = """
 """
 
 
+def _invariant_query(method: Method, config: dict, check: str):
+    """Method-specific structural/error invariant over char-token
+    series, computed in-kernel (operators/invariants.py documents the
+    per-method semantics and their reference anchors) and gated by the
+    all-true oracle column like the bound queries."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        from tersets_spark.operators.compress import invariant_verify
+
+        return invariant_verify(_char_tokens(spark, sf_dir), method, config, check)
+
+    return q
+
+
+#: per-method configs for the extract -> rebuild identity sweep — every
+#: segment/coefficient method the reference's advanced pipeline covers
+#: (src/tersets.zig:467-791)
+_EXTRACT_CONFIGS = {
+    int(Method.PoorMansCompressionMidrange): {"abs_error_bound": 2.0},
+    int(Method.PoorMansCompressionMean): {"abs_error_bound": 2.0},
+    int(Method.SwingFilter): {"abs_error_bound": 2.0},
+    int(Method.SwingFilterDisconnected): {"abs_error_bound": 2.0},
+    int(Method.SlideFilter): {"abs_error_bound": 2.0},
+    int(Method.SimPiece): {"abs_error_bound": 2.0},
+    int(Method.PiecewiseConstantHistogram): {"histogram_bins_number": 16},
+    int(Method.PiecewiseLinearHistogram): {"histogram_bins_number": 16},
+    int(Method.ABCLinearApproximation): {"abs_error_bound": 2.0},
+    int(Method.VisvalingamWhyatt): {"area_under_curve_error": 4.0},
+    int(Method.SlidingWindow): {"aggregate_error_bound": 2.0},
+    int(Method.BottomUp): {"aggregate_error_bound": 2.0},
+    int(Method.MixPiece): {"abs_error_bound": 2.0},
+    int(Method.NonLinearApproximation): {"abs_error_bound": 4.0},
+    int(Method.LargestTriangleThreeBuckets): {"target_point_count": 40},
+    int(Method.DiscreteFourierTransform): {"number_of_coefficients": 16},
+}
+
+
+def _extract_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract -> rebuild byte-identity for the full segment-method
+    sweep (reference src/tersets.zig:887-888)."""
+    _prep(spark)
+    from tersets_spark.operators.compress import extract_rebuild_verify
+
+    return extract_rebuild_verify(_char_tokens(spark, sf_dir), _EXTRACT_CONFIGS)
+
+
+_EXTRACT_REBUILD_ORACLE = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(length(text) AS BIGINT) AS n_tok,
+           CAST({len(_EXTRACT_CONFIGS)} AS BIGINT) AS n_methods,
+           true AS within_bound
+    FROM documents
+"""
+
+
 def _tier_rollup_tokens_query(width: int, tokenizer):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
@@ -826,12 +882,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bound_abc": _bound_query(
             Method.ABCLinearApproximation, {"abs_error_bound": 2.0}
         ),
-        "bound_lttb": _bound_query(
-            Method.LargestTriangleThreeBuckets, {"target_point_count": 40}
-        ),
         "bound_neats": _bound_query(
             Method.NonLinearApproximation, {"abs_error_bound": 4.0}
         ),
+        # method-specific structural invariants (real checks, not
+        # length-only): previously uncovered catalog codes + LTTB upgrade
+        "roundtrip_uncompressed": _roundtrip_query(Method.Uncompressed),
+        "bound_swing_disconnected": _bound_query(
+            Method.SwingFilterDisconnected, {"abs_error_bound": 2.0}
+        ),
+        "bound_macaque_v": _bound_query(Method.MacaqueV, {"abs_error_bound": 2.0}),
+        "rmse_sliding_window": _invariant_query(
+            Method.SlidingWindow, {"aggregate_error_bound": 2.0}, "rmse_segments"
+        ),
+        "rmse_bottom_up": _invariant_query(
+            Method.BottomUp, {"aggregate_error_bound": 2.0}, "rmse_segments"
+        ),
+        "vw_area_knots": _invariant_query(
+            Method.VisvalingamWhyatt, {"area_under_curve_error": 4.0}, "vw_knots"
+        ),
+        "hist_pwch_bins": _invariant_query(
+            Method.PiecewiseConstantHistogram, {"histogram_bins_number": 16}, "pwch"
+        ),
+        "hist_pwlh_bins": _invariant_query(
+            Method.PiecewiseLinearHistogram, {"histogram_bins_number": 16}, "pwlh"
+        ),
+        "buff_precision": _invariant_query(
+            Method.BitPackedBUFF, {"decimal_precision": 3}, "buff"
+        ),
+        "dft_topk": _invariant_query(
+            Method.DiscreteFourierTransform, {"number_of_coefficients": 16}, "dft"
+        ),
+        "bound_lttb": _invariant_query(
+            Method.LargestTriangleThreeBuckets, {"target_point_count": 40}, "lttb"
+        ),
+        "extract_rebuild_identity": _extract_rebuild_query,
     }
 
 
@@ -874,6 +959,17 @@ def oracle_sql() -> dict[str, str]:
         "bound_abc": _BOUND_ORACLE,
         "bound_lttb": _BOUND_ORACLE,
         "bound_neats": _BOUND_ORACLE,
+        "roundtrip_uncompressed": _ROUNDTRIP_ORACLE,
+        "bound_swing_disconnected": _BOUND_ORACLE,
+        "bound_macaque_v": _BOUND_ORACLE,
+        "rmse_sliding_window": _BOUND_ORACLE,
+        "rmse_bottom_up": _BOUND_ORACLE,
+        "vw_area_knots": _BOUND_ORACLE,
+        "hist_pwch_bins": _BOUND_ORACLE,
+        "hist_pwlh_bins": _BOUND_ORACLE,
+        "buff_precision": _BOUND_ORACLE,
+        "dft_topk": _BOUND_ORACLE,
+        "extract_rebuild_identity": _EXTRACT_REBUILD_ORACLE,
         # compression_summary / simhash_candidates / lsh_ann_topk:
         # engine-specific or approximate-by-design -> rows-only check
     }

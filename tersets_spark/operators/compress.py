@@ -193,6 +193,92 @@ def error_bound_verify(
     )
 
 
+def invariant_verify(
+    df: DataFrame,
+    method: Method,
+    config: dict,
+    check: str,
+) -> DataFrame:
+    """Per-doc method-specific invariant (the reference's per-method
+    inline test blocks, e.g. bottom_up.zig:51, visvalingam_whyatt.zig:53,
+    discrete_fourier_transform.zig:47): compress each whole series
+    in-kernel, decompress, and run the named check from
+    :mod:`..operators.invariants` against the blob + reconstruction.
+    ``check`` is a NAME resolved on the executor (module shipped in the
+    package zip) — never a pickled closure. Returns
+    ``(doc_id, n_tok, within_bound)``."""
+    method_code = int(method)
+    cfg = dict(config or {})
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .invariants import CHECKS
+
+        fn = CHECKS[check]
+        m = Method(method_code)
+        for pdf in batches:
+            oks = []
+            for toks in pdf["tokens"]:
+                v = np.asarray(toks, dtype=np.float64)
+                blob = registry.compress(v, m, cfg)
+                out = registry.decompress(blob)
+                try:
+                    oks.append(bool(fn(v, blob, out, cfg)))
+                except Exception:
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pdf["n_tok"].astype("int64"),
+                    "within_bound": oks,
+                }
+            )
+
+    return df.select("doc_id", "tokens", "n_tok").mapInPandas(
+        verify, schema="doc_id string, n_tok long, within_bound boolean"
+    )
+
+
+def extract_rebuild_verify(df: DataFrame, configs: dict[int, dict]) -> DataFrame:
+    """extract -> rebuild byte-identity across every segment method
+    (reference src/tersets.zig:467-791, identity asserted at :887-888):
+    per doc, compress with each method in ``configs``, decompose to
+    (indices, coefficients), re-serialize, and require the rebuilt blob
+    to equal the original byte-for-byte. Returns
+    ``(doc_id, n_tok, n_methods, within_bound)``."""
+    cfg_items = sorted((int(k), dict(v)) for k, v in configs.items())
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.extract import extract, rebuild
+
+        for pdf in batches:
+            oks, counts = [], []
+            for toks in pdf["tokens"]:
+                v = np.asarray(toks, dtype=np.float64)
+                ok = True
+                for code, cfg in cfg_items:
+                    m = Method(code)
+                    blob = registry.compress(v, m, cfg)
+                    idx, coeffs, m2 = extract(blob)
+                    if rebuild(idx, coeffs, m2) != blob:
+                        ok = False
+                        break
+                oks.append(ok)
+                counts.append(len(cfg_items))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pdf["n_tok"].astype("int64"),
+                    "n_methods": np.asarray(counts, dtype=np.int64),
+                    "within_bound": oks,
+                }
+            )
+
+    return df.select("doc_id", "tokens", "n_tok").mapInPandas(
+        verify,
+        schema="doc_id string, n_tok long, n_methods long, within_bound boolean",
+    )
+
+
 def roundtrip_verify(
     df: DataFrame,
     method: Method = Method.BitPackedDeltaEncoding,

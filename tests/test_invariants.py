@@ -1,0 +1,86 @@
+"""Method-specific driver invariants (operators/invariants.py):
+positive across the catalog's structural methods, negative on
+corrupted blobs and mismatched configs — the discrimination that makes
+the driver's all-true oracle gate meaningful."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tersets_spark.kernels import registry
+from tersets_spark.methods import Method
+from tersets_spark.operators.invariants import CHECKS
+
+CASES = [
+    (Method.SlidingWindow, {"aggregate_error_bound": 2.0}, "rmse_segments"),
+    (Method.BottomUp, {"aggregate_error_bound": 2.0}, "rmse_segments"),
+    (Method.VisvalingamWhyatt, {"area_under_curve_error": 4.0}, "vw_knots"),
+    (Method.PiecewiseConstantHistogram, {"histogram_bins_number": 16}, "pwch"),
+    (Method.PiecewiseLinearHistogram, {"histogram_bins_number": 16}, "pwlh"),
+    (Method.BitPackedBUFF, {"decimal_precision": 3}, "buff"),
+    (Method.DiscreteFourierTransform, {"number_of_coefficients": 16}, "dft"),
+    (Method.LargestTriangleThreeBuckets, {"target_point_count": 40}, "lttb"),
+]
+
+
+def _series() -> list[np.ndarray]:
+    rng = np.random.default_rng(7)
+    return [
+        rng.integers(32, 127, 500).astype(np.float64),
+        rng.integers(32, 127, 3).astype(np.float64),
+        np.array([65.0]),  # single value -> Uncompressed edge rule
+        np.array([65.0, 66.0]),
+        40 * np.sin(np.arange(200) * 0.1) + 60,
+        np.full(100, 80.0),
+    ]
+
+
+@pytest.mark.parametrize("method,cfg,check", CASES, ids=lambda c: str(c))
+def test_invariant_holds(method, cfg, check):
+    if not isinstance(method, Method):
+        pytest.skip("param expansion artifact")
+    fn = CHECKS[check]
+    for v in _series():
+        blob = registry.compress(v, method, cfg)
+        out = registry.decompress(blob)
+        assert fn(v, blob, out, cfg) is True
+
+
+def test_invariant_rejects_corruption():
+    v = np.random.default_rng(7).integers(32, 127, 500).astype(np.float64)
+    cfg = {"aggregate_error_bound": 2.0}
+    blob = bytearray(registry.compress(v, Method.SlidingWindow, cfg))
+    blob[6] ^= 0x40  # high mantissa byte of the first start_value
+    out = registry.decompress(bytes(blob))
+    assert CHECKS["rmse_segments"](v, bytes(blob), out, cfg) is False
+
+
+def test_invariant_rejects_config_mismatch():
+    v = np.random.default_rng(7).integers(32, 127, 500).astype(np.float64)
+    loose = registry.compress(v, Method.SlidingWindow, {"aggregate_error_bound": 20.0})
+    out = registry.decompress(loose)
+    assert (
+        CHECKS["rmse_segments"](v, loose, out, {"aggregate_error_bound": 0.01})
+        is False
+    )
+    bd = registry.compress(v, Method.DiscreteFourierTransform, {"number_of_coefficients": 16})
+    assert CHECKS["dft"](v, bd, registry.decompress(bd), {"number_of_coefficients": 8}) is False
+    bl = registry.compress(v, Method.LargestTriangleThreeBuckets, {"target_point_count": 40})
+    assert CHECKS["lttb"](v, bl, registry.decompress(bl), {"target_point_count": 30}) is False
+
+
+def test_lttb_selected_points_are_inputs():
+    """The upgrade the round-1 verdict asked for: bound_lttb now checks
+    knots are EXACT input points in the right buckets, not just length."""
+    v = np.random.default_rng(3).normal(0, 50, 1000)
+    cfg = {"target_point_count": 40}
+    blob = registry.compress(v, Method.LargestTriangleThreeBuckets, cfg)
+    out = registry.decompress(blob)
+    assert CHECKS["lttb"](v, blob, out, cfg) is True
+    # swap one knot value for a non-input value -> must fail
+    raw = np.frombuffer(blob[:-1], dtype=np.uint64).copy()
+    vals = raw[1::2].view(np.float64)
+    vals[5] = vals[5] + 0.125
+    forged = raw.tobytes() + blob[-1:]
+    assert CHECKS["lttb"](v, forged, registry.decompress(forged), cfg) is False
