@@ -15,8 +15,6 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -117,9 +115,12 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH:
     (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    Buckets larger than ``bucket_cap`` are dropped (degenerate-bucket
+    guard — see :func:`_cap_buckets`).
 
     Signatures come from one vectorized pandas UDF pass; the band-bucket
     self-join is the only shuffle, keyed on (band, bucket) — uniform key
@@ -133,6 +134,7 @@ def minhash_lsh_candidates(
         df.select(F.col(id_col).alias("_id"), band_buckets(F.col(text_col)).alias("_bb"))
         .select("_id", F.posexplode("_bb").alias("band", "bucket"))
     )
+    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -144,6 +146,23 @@ def minhash_lsh_candidates(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+    )
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Degenerate-bucket guard for LSH self-joins: a bucket of b members
+    produces b^2/2 candidate pairs, so ONE boilerplate/empty-text bucket
+    goes quadratic at 100-TB scale. Rows in buckets larger than ``cap``
+    are dropped before the join (their docs keep their other bands /
+    probes). Uses a count-over-window on the join key itself — same
+    shuffle key as the join, no extra exchange after AQE reuse."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= cap)
+        .drop("_bsz")
     )
 
 
@@ -180,54 +199,90 @@ def ngram_jaccard_pairs(
     )
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (vectorized per batch:
-    token hashing via numpy, bit votes via a (n_tokens, 64) unpack)."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        words = (t or "").split()
-        if not words:
-            out[i] = 0
-            continue
-        # stable across processes (Python's hash() is salted per process)
-        hs = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                )
-                for w in words
-            ],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, PURE Catalyst — no Python
+    anywhere: explode words, md5 each (JVM), extract four 16-bit
+    little-endian chunks of the first 8 digest bytes (== DuckDB's
+    ``md5_number_upper``), then 64 map-side-combinable bit-vote sums per
+    doc. Returns ``(id, sig_hi, sig_lo)`` with the signature split into
+    two non-negative 32-bit halves (hamming = bit_count(xor hi) +
+    bit_count(xor lo), overflow-free in any engine)."""
+    # word bits: chunk_j = LE(bytes 2j, 2j+1) of md5(word); bit i of the
+    # signature input = bit (i % 16) of chunk (i // 16)
+    chunks = [
+        F.conv(
+            F.concat(
+                F.substring("_h", 4 * j + 3, 2), F.substring("_h", 4 * j + 1, 2)
+            ),
+            16,
+            10,
+        ).cast("int")
+        for j in range(4)
+    ]
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    ).select("_id", F.md5("_w").alias("_h"))
+    words = words.select(
+        "_id", *[c.alias(f"_c{j}") for j, c in enumerate(chunks)]
+    )
+    votes = [
+        F.sum(
+            (F.shiftright(F.col(f"_c{i // 16}"), i % 16).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    sig = words.groupBy("_id").agg(*votes)
+    half = lambda lo: sum(  # noqa: E731
+        (
+            (F.col(f"_v{i}") > 0).cast("long") * F.lit(1 << (i - lo))
+            for i in range(lo, lo + 32)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return sig.select(
+        F.col("_id").alias(id_col),
+        half(32).alias("sig_hi"),
+        half(0).alias("sig_lo"),
+    )
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    max_hamming: int = 16,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: identical high ``prefix_bits`` of the
     SimHash (a cheap banded variant; rotate-and-rebucket for recall at
-    scale)."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sig"))
-    bucket = F.shiftrightunsigned("sig", 64 - prefix_bits).alias("bucket")
-    b = sig.select("_id", "sig", bucket)
+    scale), verified by full 64-bit hamming <= ``max_hamming``. Fully
+    Catalyst and oracle-reproducible (DuckDB ``md5_number_upper``);
+    when ``bucket_cap`` is set the oracle must apply the same per-bucket
+    count filter."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    b = sigs.select(
+        F.col(id_col).alias("_id"),
+        "sig_hi",
+        "sig_lo",
+        F.shiftrightunsigned("sig_hi", 32 - prefix_bits).alias("bucket"),
+    )
+    b = _cap_buckets(b, ["bucket"], bucket_cap)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")))
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+            (
+                F.bit_count(F.col("l.sig_hi").bitwiseXOR(F.col("r.sig_hi")))
+                + F.bit_count(F.col("l.sig_lo").bitwiseXOR(F.col("r.sig_lo")))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -238,15 +293,20 @@ def embedding_near_dups(
     n_planes: int = 12,
     threshold: float = 0.95,
     seed: int = 42,
+    dim: int | None = None,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates via random-hyperplane LSH:
-    bucket by sign bits, exact cosine inside buckets only."""
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
-        )
-    dim = first["d"]
+    bucket by sign bits, exact cosine inside buckets only. Pass ``dim``
+    explicitly to keep plan construction action-free (the ``.first()``
+    fallback triggers a Spark job at build time)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = first["d"]
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     sign_bits = [
@@ -268,6 +328,7 @@ def embedding_near_dups(
         (c * (1 << p) for p, c in enumerate(sign_bits)), F.lit(0)
     ).alias("bucket")
     b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket)
+    b = _cap_buckets(b, ["bucket"], bucket_cap)
     l, r = b.alias("l"), b.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, x: a * x),

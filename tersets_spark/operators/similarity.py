@@ -111,13 +111,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """ANN: random-hyperplane buckets with 1-bit multi-probe; exact
     cosine within probed buckets only. Approximate — recall grows with
     probes; the equi-join on bucket replaces the cross join, making the
-    shuffle O(matches) instead of O(|Q|x|C|)."""
-    first = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
+    shuffle O(matches) instead of O(|Q|x|C|). Pass ``dim`` explicitly to
+    keep plan construction action-free; ``bucket_cap`` drops corpus rows
+    in degenerate buckets (a hot bucket multiplies EVERY probing query)."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"]
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
 
@@ -142,6 +147,13 @@ def lsh_topk(
         F.col(vec_col).alias("_cv"),
         bucket_expr(vec_col).alias("bucket"),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("bucket")
+        c = (
+            c.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz")
+        )
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -165,4 +177,168 @@ def lsh_topk(
         .distinct()
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means centroids from a DETERMINISTIC sample
+    (orderBy(id).limit(n) — same centroids on every run/retry). One
+    bounded driver action: sampling centroid training data is how IVF
+    indexes are built at any scale (the index quality depends on the
+    sample's coverage, not the corpus size)."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(X))
+    C = X[rng.choice(len(X), k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    return C
+
+
+def _cell_dots(vec_col: str, centroids: np.ndarray) -> F.Column:
+    """Array of (dot, cell) structs against every centroid — pure
+    Catalyst (centroid coordinates inlined as literals, the same
+    broadcast-small-side shape as the LSH planes)."""
+    return F.array(
+        *[
+            F.struct(
+                _dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in centroids[j]]),
+                ).alias("d"),
+                F.lit(j).alias("c"),
+            )
+            for j in range(len(centroids))
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate nearest neighbors — the engine's primary ANN
+    scale path: corpus rows live in their argmax-cosine centroid cell,
+    queries probe their ``nprobe`` nearest cells, exact cosine runs only
+    within probed cells. Everything after centroid training is Catalyst
+    (cell assignment = argmax over inlined centroid dots; the cell
+    equi-join replaces the cross join). Scan fraction ~= nprobe /
+    n_cells; recall rises with nprobe."""
+    dots = _cell_dots(vec_col, centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.array_max(dots)["c"].alias("cell"),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(dots)), 1, nprobe), lambda s: s["c"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_mean_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    recall_floor: float = 0.5,
+) -> DataFrame:
+    """Recall gate for the IVF path: mean recall@k across the query set
+    vs the exact brute-force top-k, as ONE oracle-checkable row
+    ``(n_queries, mean_recall_ok)``."""
+    exact = brute_topk_sql(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(corpus, queries, centroids, k, nprobe, vec_col, id_col).select(
+        "query_id", F.col("neighbor_id").alias("nb_ivf")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb_ivf),
+        "left",
+    ).groupBy(exact.query_id.alias("qid")).agg(
+        (F.count("nb_ivf") / F.count("*")).alias("recall")
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (F.avg("recall") >= recall_floor).alias("mean_recall_ok"),
+    )
+
+
+def lsh_recall_vs_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    recall_floor: float = 0.5,
+) -> DataFrame:
+    """Recall gate for the approximate path: per query, the fraction of
+    the EXACT top-k the LSH top-k retrieved. Returns ``(query_id,
+    n_hits, recall_ok)`` — the quality analog of the error-bound gates,
+    checkable by an all-true oracle column."""
+    exact = brute_topk_sql(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(
+        corpus, queries, k, vec_col, id_col, n_planes, seed, dim=dim
+    ).select("query_id", F.col("neighbor_id").alias("nb_lsh"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb_lsh),
+        "left",
+    ).groupBy(exact.query_id.alias("query_id")).agg(
+        F.count(F.col("nb_lsh")).alias("n_hits"),
+        F.count("*").alias("n_exact"),
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") / F.col("n_exact") >= recall_floor).alias("recall_ok"),
     )

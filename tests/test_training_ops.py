@@ -46,6 +46,54 @@ def test_lsh_topk_recall_vs_brute(spark):
     assert hits >= 13, f"rank-1 recall too low: {hits}/15"
 
 
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF (the primary ANN scale path) on clustered embeddings: probing
+    a quarter of the cells should recover nearly all exact top-3."""
+    from tersets_spark.operators.similarity import (
+        brute_topk_sql,
+        ivf_mean_recall,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = _clustered_emb_df(spark)
+    queries = emb.filter(F.col("vec_id") < 15)
+    cents = train_centroids(emb, n_cells=16)
+    assert cents.shape == (16, 16)
+    # deterministic training: same sample + seed -> identical centroids
+    assert np.array_equal(cents, train_centroids(emb, n_cells=16))
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_topk_sql(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(emb, queries, cents, k=3, nprobe=4).collect()
+    }
+    hits = sum(1 for q in range(15) if approx.get((q, 1)) == brute.get((q, 1)))
+    assert hits >= 13, f"rank-1 recall too low: {hits}/15"
+    row = ivf_mean_recall(
+        emb, queries, cents, k=3, nprobe=4, recall_floor=0.5
+    ).collect()[0]
+    assert row.n_queries == 15 and bool(row.mean_recall_ok)
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """The degenerate-bucket guard: identical texts all land in one
+    MinHash bucket; with a cap below the group size the quadratic
+    self-join never sees them."""
+    from tersets_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [(i, "same boilerplate text everywhere") for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} with words {i*7}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_candidates(df, bucket_cap=10)
+    # the 30-duplicate bucket exceeded the cap: no pair touches it
+    assert capped.filter(F.col("id_a") < 100).count() == 0
+    uncapped = minhash_lsh_candidates(df, bucket_cap=None)
+    assert uncapped.filter(F.col("id_a") < 100).count() == 30 * 29 // 2
+
+
 def test_embedding_near_dups_finds_planted_pairs(spark):
     from tersets_spark.operators.dedup import embedding_near_dups
 
