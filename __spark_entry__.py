@@ -455,8 +455,14 @@ _ROLLUP_BY_TYPE_ORACLE = """
 
 def _float_roundtrip_query(method: Method):
     """Bitwise round-trip of REAL float series: each user's event values
-    ordered by time become one f64 series through the XOR/float codecs —
-    the Gorilla-family path of the north_star on actual measurements."""
+    ordered by time become f64 series through the XOR/float codecs —
+    the Gorilla-family path of the north_star on actual measurements.
+
+    Skew control: series are chunked per (user_id, UTC day) before the
+    collect_list, so a hot user key never produces an unbounded group —
+    the same deterministic-chunk pattern as the token compress path
+    (operators/compress.py CHUNK). Each day-chunk round-trips
+    independently; the per-user verdict is the AND over its chunks."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
@@ -467,9 +473,10 @@ def _float_roundtrip_query(method: Method):
 
         from tersets_spark.kernels import registry
 
+        day = (F.floor(F.unix_timestamp("ts") / 86400)).alias("_day")
         series = (
             _events(spark, sf_dir)
-            .groupBy("user_id")
+            .groupBy("user_id", day)
             .agg(
                 F.transform(
                     F.array_sort(
@@ -503,8 +510,12 @@ def _float_roundtrip_query(method: Method):
                     }
                 )
 
-        return series.mapInPandas(
+        chunked = series.mapInPandas(
             verify, schema="user_id long, n_values long, bit_exact boolean"
+        )
+        return chunked.groupBy("user_id").agg(
+            F.sum("n_values").alias("n_values"),
+            F.min("bit_exact").alias("bit_exact"),
         )
 
     return q

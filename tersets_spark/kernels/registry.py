@@ -79,7 +79,9 @@ def compress(values: np.ndarray, method: Method, config: dict | None = None) -> 
         return v.tobytes() + bytes([int(Method.Uncompressed)])
     if method not in KERNELS:
         raise NotImplementedError(f"method {method.name} not implemented")
-    payload = KERNELS[method][0](v, config or {})
+    from ..methods import validate_config
+
+    payload = KERNELS[method][0](v, validate_config(method, config))
     return payload + bytes([int(method)])
 
 

@@ -126,6 +126,19 @@ class Config:
     decimal_precision: int = 6
     extra: dict = field(default_factory=dict)
 
+    KNOWN_FIELDS = frozenset(
+        {
+            "abs_error_bound",
+            "histogram_bins_number",
+            "area_under_curve_error",
+            "aggregate_error_type",
+            "aggregate_error_bound",
+            "target_point_count",
+            "number_of_coefficients",
+            "decimal_precision",
+        }
+    )
+
     def as_dict(self) -> dict:
         return {
             "abs_error_bound": self.abs_error_bound,
@@ -137,3 +150,44 @@ class Config:
             "number_of_coefficients": self.number_of_coefficients,
             "decimal_precision": self.decimal_precision,
         }
+
+
+class InvalidConfigurationError(ValueError):
+    """Config rejected at dispatch — the engine analog of the
+    reference's strict ``Error.InvalidConfiguration`` parse
+    (/root/reference/src/configuration.zig:90-140; negative tests
+    :303-344 cover unknown and missing fields)."""
+
+
+#: method -> config fields that MUST be present (the reference's parser
+#: requires the field its method reads; everything else may be omitted)
+REQUIRED_CONFIG_FIELDS: dict[Method, frozenset[str]] = {
+    **{m: frozenset({"abs_error_bound"}) for m in ERROR_BOUNDED_METHODS},
+    Method.PiecewiseConstantHistogram: frozenset({"histogram_bins_number"}),
+    Method.PiecewiseLinearHistogram: frozenset({"histogram_bins_number"}),
+    Method.VisvalingamWhyatt: frozenset({"area_under_curve_error"}),
+    Method.SlidingWindow: frozenset({"aggregate_error_bound"}),
+    Method.BottomUp: frozenset({"aggregate_error_bound"}),
+    Method.LargestTriangleThreeBuckets: frozenset({"target_point_count"}),
+    Method.DiscreteFourierTransform: frozenset({"number_of_coefficients"}),
+}
+
+
+def validate_config(method: Method, config: dict | None) -> dict:
+    """Strict config validation at kernel dispatch: unknown keys raise,
+    and the field the method's kernel reads must be present. Returns
+    the config dict (never None) for the kernel."""
+    cfg = dict(config or {})
+    unknown = set(cfg) - Config.KNOWN_FIELDS
+    if unknown:
+        raise InvalidConfigurationError(
+            f"unknown configuration field(s) {sorted(unknown)!r} "
+            f"(known: {sorted(Config.KNOWN_FIELDS)})"
+        )
+    missing = REQUIRED_CONFIG_FIELDS.get(Method(method), frozenset()) - set(cfg)
+    if missing:
+        raise InvalidConfigurationError(
+            f"method {Method(method).name} requires configuration "
+            f"field(s) {sorted(missing)!r}"
+        )
+    return cfg

@@ -78,7 +78,14 @@ def compact_tier(
     per (doc_id, stat column), values ordered by bucket — the
     Gorilla/Chimp XOR path of the north_star applied to the aggregate
     series. Collection is JVM-side (sort_array of (bucket, stat)
-    structs); the kernel sees plain float arrays."""
+    structs); the kernel sees plain float arrays.
+
+    Group-size bound: the collect_list group is ROLLUP ROWS per doc,
+    i.e. ceil(series_len / tier_width) buckets — for the reference data
+    shape (<= 262k tokens, 1m tier) that is <= 4.4k rows/doc, orders of
+    magnitude below the raw-series hot-key risk. Compact coarser tiers
+    (1h/1d) for correspondingly smaller groups; for pathological docs
+    split by first_bucket range upstream."""
     from typing import Iterator
 
     import pandas as pd
