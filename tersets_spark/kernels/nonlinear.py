@@ -149,15 +149,72 @@ def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
     return last_good
 
 
+def _feasible_fit(v: np.ndarray, s: int, e: int, eps: float):
+    """Best family fit of v[s:e] within the L∞ bound, or None."""
+    x = np.arange(e - s, dtype=np.float64)
+    y = v[s:e]
+    for fam in range(_FAMILIES):
+        fit = _fit_eval(fam, x, y)
+        if fit is None:
+            continue
+        params, yhat = fit
+        if np.abs(y - yhat).max() <= eps:
+            return fam, tuple(float(p) for p in params)
+    return None
+
+
+def _dp_segments(v: np.ndarray, rs: int, re: int, eps: float):
+    """DP-OPTIMAL segmentation of the finite run [rs, re): minimum
+    number of segments such that every segment admits a family fit
+    within eps — the reference's formulation
+    (non_linear_approximation.zig:61-82). O(n^2) feasibility probes;
+    intended for the ``segmentation='dp'`` config path (greedy stays the
+    vectorized default for the 100-TB hot path)."""
+    n = re - rs
+    INF = n + 1
+    dp = np.full(n + 1, INF, dtype=np.int64)
+    dp[0] = 0
+    back: list[tuple[int, int, tuple] | None] = [None] * (n + 1)
+    for i in range(1, n + 1):
+        best = INF
+        for j in range(i - 1, -1, -1):
+            if dp[j] + 1 >= best:
+                continue  # cannot improve — the only (exact) prune
+            fit = (
+                (0, (float(v[rs + j]), 0.0, 0.0))
+                if i - j == 1
+                else _feasible_fit(v, rs + j, rs + i, eps)
+            )
+            if fit is not None:
+                best = dp[j] + 1
+                dp[i] = best
+                back[i] = (j, fit[0], fit[1])
+    segs: list[tuple[int, int, tuple]] = []
+    i = n
+    while i > 0:
+        j, fam, params = back[i]  # type: ignore[misc]
+        segs.append((rs + i, fam, params))
+        i = j
+    segs.reverse()
+    return segs
+
+
 def compress(values: np.ndarray, config: dict | None = None) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.float64)
-    eps = float((config or {}).get("abs_error_bound", 0.0))
+    cfg = config or {}
+    eps = float(cfg.get("abs_error_bound", 0.0))
     if eps <= 0:
         raise ValueError("NonLinearApproximation requires abs_error_bound > 0")
+    mode = str(cfg.get("segmentation", "greedy")).lower()
+    if mode not in ("greedy", "dp"):
+        raise ValueError("segmentation must be 'greedy' or 'dp'")
     segs: list[tuple[int, int, tuple]] = []  # (end_excl, family, params)
     for rs, re, is_finite in finite_runs(v):
         if not is_finite:
             segs.append((rs + 1, 0, (float(v[rs]), 0.0, 0.0)))
+            continue
+        if mode == "dp":
+            segs.extend(_dp_segments(v, rs, re, eps))
             continue
         s = rs
         while s < re:

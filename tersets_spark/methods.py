@@ -124,6 +124,10 @@ class Config:
     target_point_count: int = 0
     number_of_coefficients: int = 0
     decimal_precision: int = 6
+    #: engine extension (not in the reference config): NeaTS segmentation
+    #: strategy — 'greedy' (vectorized default) or 'dp' (reference-style
+    #: optimal segmentation, non_linear_approximation.zig:61-82)
+    segmentation: str = "greedy"
     extra: dict = field(default_factory=dict)
 
     KNOWN_FIELDS = frozenset(
@@ -136,6 +140,7 @@ class Config:
             "target_point_count",
             "number_of_coefficients",
             "decimal_precision",
+            "segmentation",
         }
     )
 

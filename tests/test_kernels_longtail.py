@@ -40,6 +40,63 @@ def test_neats_abs_bound(fam):
     assert np.abs(v - out).max() <= 0.5 + 1e-9
 
 
+def test_neats_dp_optimal_vs_bruteforce():
+    """segmentation='dp' matches a brute-force minimum-segment DP oracle
+    (the reference's optimal formulation,
+    non_linear_approximation.zig:61-82) and never uses more segments
+    than greedy; the error bound holds on both paths."""
+    from tersets_spark.kernels import nonlinear
+
+    def brute_min_segs(v, eps):
+        n = len(v)
+        dp = [0] + [n + 1] * n
+        for i in range(1, n + 1):
+            for j in range(i):
+                if dp[j] + 1 < dp[i] and (
+                    i - j == 1 or nonlinear._feasible_fit(v, j, i, eps) is not None
+                ):
+                    dp[i] = dp[j] + 1
+        return dp[n]
+
+    rng = np.random.default_rng(11)
+    eps = 0.2
+    for _ in range(6):
+        parts = []
+        for _ in range(int(rng.integers(2, 4))):
+            k = int(rng.integers(5, 15))
+            x = np.arange(k, dtype=float)
+            kind = int(rng.integers(0, 3))
+            if kind == 0:
+                parts.append(3 + 0.5 * rng.normal() * x)
+            elif kind == 1:
+                parts.append(10 * np.exp(0.1 * x))
+            else:
+                parts.append(rng.normal(0, 5) + 2 * np.sqrt(x))
+        v = np.concatenate(parts) + rng.normal(0, 0.05, sum(len(p) for p in parts))
+        blob_dp = compress(
+            v,
+            Method.NonLinearApproximation,
+            {"abs_error_bound": eps, "segmentation": "dp"},
+        )
+        blob_gr = compress(v, Method.NonLinearApproximation, {"abs_error_bound": eps})
+        out = decompress(blob_dp)
+        assert np.abs(v - out).max() <= eps + 1e-9
+        nseg_dp = int(np.frombuffer(blob_dp[:4], dtype=np.uint32)[0])
+        nseg_gr = int(np.frombuffer(blob_gr[:4], dtype=np.uint32)[0])
+        assert nseg_dp == brute_min_segs(v, eps)
+        assert nseg_dp <= nseg_gr
+
+
+def test_neats_rejects_bad_segmentation_mode():
+    v = np.arange(10, dtype=np.float64)
+    with pytest.raises(ValueError, match="segmentation"):
+        compress(
+            v,
+            Method.NonLinearApproximation,
+            {"abs_error_bound": 1.0, "segmentation": "annealed"},
+        )
+
+
 @pytest.mark.parametrize("fam", sorted(_families()))
 def test_abc_abs_bound(fam):
     v = _families()[fam]
