@@ -76,7 +76,14 @@ def _band_buckets_batch(
     """Vectorized MinHash band buckets per document: rolling-hash the
     character k-shingles (one pass over the codepoints), then n_hashes
     universal hashes a_j*h+b_j with a column-wise min, then band-combine.
-    O(len + n_hashes*shingles) numpy per doc — no per-shingle Python."""
+    O(len + n_hashes*shingles) numpy per doc — no per-shingle Python.
+
+    Measured note (round 2): a fully batch-flattened variant (gathered
+    window starts + per-hash reduceat over the whole Arrow batch) is
+    4-5x SLOWER here — the per-doc (n_hashes, m) temp is L2-resident
+    while batch-wide temps and int64 gather indices are pure memory
+    traffic. Per-doc Python overhead is noise at these segment sizes
+    (CLAUDE.md performance playbook)."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, n_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 2**63, n_hashes, dtype=np.uint64)
@@ -175,8 +182,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (SQL set
-    ops); returns (id_a, id_b, jaccard >= threshold rows)."""
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("_sh"))
+    ops); returns (id_a, id_b, jaccard >= threshold rows).
+
+    Scale shape: shingle sets are materialized ONLY for docs that appear
+    in a candidate pair (semi-join first) — the candidate set is
+    near-linear in true duplicates, so the expensive O(len) shingle
+    arrays never exist for the (vast) non-candidate majority."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    needed = df.join(
+        cand_ids, df[id_col] == cand_ids["_id"], "left_semi"
+    )
+    sh = needed.select(
+        F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("_sh")
+    )
     a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")
     b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")
     return (
