@@ -112,8 +112,10 @@ def main() -> None:
         "tier_rollup_chars_1m",
         "dedup_exact",
         "minhash_jaccard_dups",
+        "simhash_candidates",
         "textstats",
         "ann_topk",
+        "ivf_ann_topk",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
