@@ -691,6 +691,58 @@ _TEXTSTATS_ORACLE = r"""
 """
 
 
+def _textprofile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, composite quality score and portable document
+    fingerprint — the text-analysis surface beyond raw counts, all pure
+    Catalyst with an exact DuckDB analog."""
+    _prep(spark)
+    from tersets_spark.operators.textstats import (
+        fingerprint_md5,
+        lang_guess,
+        quality_score,
+    )
+
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_guess("text").alias("lang"),
+        _trunc(quality_score("text"), 6).alias("quality"),
+        fingerprint_md5("text").alias("fp64"),
+    )
+
+
+_TEXTPROFILE_ORACLE = r"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+                   ['the','and','of','to','in','is','that','it','for','was'])) AS s_en,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+                   ['der','die','und','das','ist','nicht','mit','ein','von','zu'])) AS s_de,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+                   ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\s+'),
+                   ['el','la','los','de','que','y','en','un','una','es'])) AS s_es,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   / greatest(length(text), 1) AS punct,
+               length(regexp_replace(text, '\s', '', 'g'))
+                   / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS wl
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+                WHEN s_de >= greatest(s_en, s_fr, s_es, 1) THEN 'de'
+                WHEN s_fr >= greatest(s_en, s_de, s_es, 1) THEN 'fr'
+                WHEN s_es >= greatest(s_en, s_de, s_fr, 1) THEN 'es'
+                ELSE 'unknown' END AS lang,
+           floor((least(length(text) / 200.0, 1.0) * 0.4
+                  + greatest(1.0 - punct * 4, 0.0) * 0.4
+                  + (CASE WHEN wl >= 3 AND wl <= 9 THEN 1.0 ELSE 0.5 END) * 0.2)
+                 * 1e6) / 1e6 AS quality,
+           substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+    FROM scored
+"""
+
+
 def _ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from tersets_spark.operators.similarity import brute_topk_sql
@@ -958,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact_query,
         "minhash_jaccard_dups": _minhash_jaccard_query,
         "textstats": _textstats_query,
+        "textprofile": _textprofile_query,
         "ann_topk": _ann_topk_query,
         "compression_summary": _compression_summary_query,
         "simhash_candidates": _simhash_query,
@@ -1047,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "minhash_jaccard_dups": _MINHASH_JACCARD_ORACLE,
         "textstats": _TEXTSTATS_ORACLE,
+        "textprofile": _TEXTPROFILE_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
         "bound_pmc_midrange": _BOUND_ORACLE,
         "bound_pmc_mean": _BOUND_ORACLE,

@@ -89,6 +89,15 @@ def fingerprint(text_col: str = "text") -> F.Column:
     return F.xxhash64(F.trim(norm))
 
 
+def fingerprint_md5(text_col: str = "text") -> F.Column:
+    """Portable 64-bit fingerprint of the normalized text: the first 16
+    hex digits of md5 — identical in any engine with md5(), which makes
+    it the oracle-checkable variant (xxhash64 above is the faster
+    JVM-native one)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return F.substring(F.md5(norm), 1, 16)
+
+
 def _trunc6(col: F.Column) -> F.Column:
     # floor-truncation, not round: engines' round-half semantics can
     # disagree on identical doubles at exact grid boundaries
