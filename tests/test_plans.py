@@ -105,3 +105,77 @@ def test_minhash_join_is_equi_join(spark):
     plan = _plan(minhash_lsh_candidates(docs, n_hashes=16, bands=4))
     assert "CartesianProduct" not in plan
     assert "hashpartitioning" in plan  # banded equi-join shuffles on bucket
+
+
+def test_simhash_is_pure_catalyst(spark):
+    """The round-2 rewrite: SimHash signatures must contain NO Python
+    evaluation nodes — md5/conv/shift/bit-vote all JVM-side, votes as a
+    partial+final aggregate."""
+    from tersets_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    plan = _plan(simhash_signatures(docs))
+    assert "EvalPython" not in plan, plan  # no Batch/ArrowEvalPython
+    assert "partial" in plan.lower()
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_bucket_cap_stays_on_join_key(spark):
+    """The degenerate-bucket guard must not add a second shuffle key:
+    the count window partitions by the same (band, bucket) the self-join
+    shuffles on."""
+    from tersets_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    plan = _plan(minhash_lsh_candidates(docs, n_hashes=16, bands=4, bucket_cap=64))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # hash partitionings are either the (band, bucket) join/window key
+    # or the final pair-distinct — nothing else
+    parts = [m.group(1) for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)]
+    assert any("band" in k or "bucket" in k for k in parts), plan
+    for keys in parts:
+        assert ("band" in keys or "bucket" in keys) or (
+            "id_a" in keys and "id_b" in keys
+        ), keys
+
+
+def test_ivf_join_is_equi_join_on_cell(spark):
+    import numpy as np
+
+    from tersets_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = np.random.default_rng(0).normal(size=(8, 64))
+    plan = _plan(ivf_topk(emb, queries, cents, k=3, nprobe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # assignment is inlined-centroid Catalyst
+
+
+def test_textprofile_is_single_projection(spark):
+    """lang-ID + quality + fingerprint must cost one scan-project: no
+    exchange, no Python."""
+    from tersets_spark.operators.textstats import (
+        fingerprint_md5,
+        lang_guess,
+        quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.select(
+        "doc_id",
+        lang_guess("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        fingerprint_md5("text").alias("fp64"),
+    )
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
