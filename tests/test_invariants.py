@@ -47,6 +47,34 @@ def test_invariant_holds(method, cfg, check):
         assert fn(v, blob, out, cfg) is True
 
 
+def test_invariant_holds_hypothesis():
+    """Random finite series of any shape must satisfy every structural
+    invariant — the guard that keeps the driver's all-true oracle gates
+    green on data the fixtures never showed us."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(finite, min_size=0, max_size=120))
+    def run(vals):
+        v = np.asarray(vals, dtype=np.float64)
+        for method, cfg, check in CASES:
+            if method in (
+                Method.PiecewiseConstantHistogram,
+                Method.PiecewiseLinearHistogram,
+            ) and not np.isfinite(v).all():
+                continue
+            blob = registry.compress(v, method, cfg)
+            out = registry.decompress(blob)
+            assert CHECKS[check](v, blob, out, cfg) is True, (method, vals)
+
+    run()
+
+
 def test_invariant_rejects_corruption():
     v = np.random.default_rng(7).integers(32, 127, 500).astype(np.float64)
     cfg = {"aggregate_error_bound": 2.0}
