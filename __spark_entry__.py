@@ -527,6 +527,62 @@ _FLOAT_ROUNDTRIP_ORACLE = """
 """
 
 
+def _ts_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-encoding leg of the north_star: each user's event
+    EPOCH SECONDS (sorted, chunked per UTC day like the float path) go
+    through the bit-packed delta codec and must round-trip bit-exactly —
+    sorted timestamps are the codec's native delta-of-delta-friendly
+    workload (reference bitpacked_delta_encoding.zig:45-343)."""
+    _prep(spark)
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from tersets_spark.kernels import registry
+
+    day = (F.floor(F.unix_timestamp("ts") / 86400)).alias("_day")
+    series = (
+        _events(spark, sf_dir)
+        .select("user_id", F.unix_timestamp("ts").alias("te"), "event_id", "ts")
+        .groupBy("user_id", day)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("te", "event_id"))),
+                lambda r: r["te"],
+            ).alias("vals")
+        )
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = Method.BitPackedDeltaEncoding
+        for pdf in batches:
+            oks, ns = [], []
+            for vals in pdf["vals"]:
+                v = np.asarray(vals, dtype=np.float64)
+                out = registry.decompress(registry.compress(v, m))
+                oks.append(
+                    out.size == v.size
+                    and bool(np.array_equal(v.view(np.uint64), out.view(np.uint64)))
+                )
+                ns.append(v.size)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "n_values": np.asarray(ns, dtype=np.int64),
+                    "bit_exact": oks,
+                }
+            )
+
+    chunked = series.mapInPandas(
+        verify, schema="user_id long, n_values long, bit_exact boolean"
+    )
+    return chunked.groupBy("user_id").agg(
+        F.sum("n_values").alias("n_values"),
+        F.min("bit_exact").alias("bit_exact"),
+    )
+
+
 def _tier_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention pruning: keep only the newest 3 one-minute buckets per
     doc from the char-token rollup."""
@@ -1005,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "float_roundtrip_delta": _float_roundtrip_query(
             Method.BitPackedDeltaEncoding
         ),
+        "ts_roundtrip_delta": _ts_roundtrip_query,
         "tier_rollup_words_1m": _tier_rollup_tokens_query(60, _word_tokens),
         "tier_rollup_chars_1m": _tier_rollup_tokens_query(60, _char_tokens),
         "dedup_exact": _dedup_exact_query,
@@ -1095,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "float_roundtrip_chimp128": _FLOAT_ROUNDTRIP_ORACLE,
         "float_roundtrip_elf": _FLOAT_ROUNDTRIP_ORACLE,
         "float_roundtrip_delta": _FLOAT_ROUNDTRIP_ORACLE,
+        "ts_roundtrip_delta": _FLOAT_ROUNDTRIP_ORACLE,
         "tier_rollup_words_1m": _tier_rollup_tokens_oracle(60, _WORD_TOKENS_ORACLE),
         "tier_rollup_chars_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
