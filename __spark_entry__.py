@@ -257,11 +257,18 @@ _EXTRACT_CONFIGS = {
 
 def _extract_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract -> rebuild byte-identity for the full segment-method
-    sweep (reference src/tersets.zig:887-888)."""
+    sweep (reference src/tersets.zig:887-888). Each doc's first 512
+    char-tokens are verified — the identity is a FORMAT property, so a
+    bounded prefix exercises every payload layout while keeping the 16
+    slow segmenters (VW/BottomUp/NeaTS heaps) off the critical path;
+    full-length sweeps live in tests/test_extract_rebuild.py."""
     _prep(spark)
     from tersets_spark.operators.compress import extract_rebuild_verify
 
-    return extract_rebuild_verify(_char_tokens(spark, sf_dir), _EXTRACT_CONFIGS)
+    toks = _char_tokens(spark, sf_dir).select(
+        "doc_id", F.slice("tokens", 1, 512).alias("tokens"), "n_tok"
+    )
+    return extract_rebuild_verify(toks, _EXTRACT_CONFIGS)
 
 
 _EXTRACT_REBUILD_ORACLE = f"""

@@ -150,6 +150,15 @@ def reassemble(decoded: DataFrame) -> DataFrame:
     )
 
 
+def _verify_parallelism(df: DataFrame) -> int:
+    """Explicit partition count for the per-doc verify kernels: the
+    shuffled rows are tiny (ids + token arrays) so AQE would coalesce
+    the exchange to ONE partition by byte size and serialize ~50-80 ms
+    of Python kernel work per doc on a single core — an explicit count
+    keeps the fan-out (AQE never coalesces user-specified numbers)."""
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
 def error_bound_verify(
     df: DataFrame,
     method: Method,
@@ -188,8 +197,12 @@ def error_bound_verify(
                 }
             )
 
-    return df.select("doc_id", "tokens", "n_tok").mapInPandas(
-        verify, schema="doc_id string, n_tok long, within_bound boolean"
+    return (
+        df.select("doc_id", "tokens", "n_tok")
+        .repartition(_verify_parallelism(df), F.col("doc_id"))
+        .mapInPandas(
+            verify, schema="doc_id string, n_tok long, within_bound boolean"
+        )
     )
 
 
@@ -233,8 +246,14 @@ def invariant_verify(
                 }
             )
 
-    return df.select("doc_id", "tokens", "n_tok").mapInPandas(
-        verify, schema="doc_id string, n_tok long, within_bound boolean"
+    return (
+        df.select("doc_id", "tokens", "n_tok")
+        # per-doc kernel work is the cost here, not the scan: spread docs
+        # across all cores even when the source is one small file
+        .repartition(_verify_parallelism(df), F.col("doc_id"))
+        .mapInPandas(
+            verify, schema="doc_id string, n_tok long, within_bound boolean"
+        )
     )
 
 
@@ -273,9 +292,15 @@ def extract_rebuild_verify(df: DataFrame, configs: dict[int, dict]) -> DataFrame
                 }
             )
 
-    return df.select("doc_id", "tokens", "n_tok").mapInPandas(
-        verify,
-        schema="doc_id string, n_tok long, n_methods long, within_bound boolean",
+    return (
+        df.select("doc_id", "tokens", "n_tok")
+        # ~80 ms of kernel work per doc (16 methods) — repartition so a
+        # single-file source doesn't serialize the sweep on one core
+        .repartition(_verify_parallelism(df), F.col("doc_id"))
+        .mapInPandas(
+            verify,
+            schema="doc_id string, n_tok long, n_methods long, within_bound boolean",
+        )
     )
 
 
