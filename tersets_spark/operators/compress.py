@@ -64,17 +64,28 @@ def compress_blocks(
     method: Method = Method.BitPackedDeltaEncoding,
     config: dict | None = None,
     chunk: int = CHUNK,
+    fan_out: bool = False,
 ) -> DataFrame:
     """Compress a token table into the blocks table (FIXTURES.md §3).
 
     Input: ``(doc_id string, tokens array<int32>, ...)``.
     Output: BLOCKS_SCHEMA rows, one per chunk.
-    """
+
+    ``fan_out=False`` (production default) keeps the compress path
+    shuffle-free — at 100 TB the input has thousands of splits and the
+    narrow chunk explode is already parallel. ``fan_out=True`` adds one
+    explicit repartition of the chunk rows for Python-bound VERIFICATION
+    jobs over few-split sources (a one-file driver table would otherwise
+    run the whole kernel sweep on one core)."""
     method_code = int(method)
     cfg = dict(config or {})
     chunked = chunk_tokens(df, chunk).select(
         "doc_id", "chunk_id", "first_pos", "chunk_tokens", "n_values"
     )
+    if fan_out:
+        chunked = chunked.repartition(
+            _verify_parallelism(df), F.col("doc_id"), F.col("chunk_id")
+        )
 
     def compress_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.batch import compress_batch
@@ -317,7 +328,7 @@ def roundtrip_verify(
     the original — the engine form of the reference's bit-identical gate
     (/root/reference/src/tersets.zig:887-888)."""
     # persisted: both the size aggregate and the decode branch consume it
-    blocks = compress_blocks(df, method, config, chunk).persist()
+    blocks = compress_blocks(df, method, config, chunk, fan_out=True).persist()
     sizes = blocks.groupBy("doc_id").agg(
         F.sum("bytes").alias("compressed_bytes"),
         F.sum("n_values").alias("n_decoded"),
