@@ -72,16 +72,9 @@ def decompress(payload: bytes) -> np.ndarray:
     first = raw[:1].view(np.float64)[0]
     kv = np.concatenate(([first], raw[1::2].view(np.float64)))
     ki = np.concatenate(([0], raw[2::2].astype(np.int64)))
-    n = int(ki[-1]) + 1
-    out = np.empty(n, dtype=np.float64)
-    for k in range(ki.size):
-        i = ki[k]
-        out[i] = kv[k]
-        if k + 1 < ki.size and ki[k + 1] > i + 1:
-            j = ki[k + 1]
-            t = np.arange(1, j - i, dtype=np.float64)
-            out[i + 1 : j] = kv[k] + (kv[k + 1] - kv[k]) * t / (j - i)
-    return out
+    from .vw import interp_knots
+
+    return interp_knots(kv, ki)
 
 
 register(Method.LargestTriangleThreeBuckets, compress, decompress)

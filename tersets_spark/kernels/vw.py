@@ -88,15 +88,28 @@ def decompress(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(payload, dtype=np.uint64)
     kv = raw[0::2].view(np.float64)
     ki = raw[1::2].astype(np.int64)
+    return interp_knots(kv, ki)
+
+
+def interp_knots(kv: np.ndarray, ki: np.ndarray) -> np.ndarray:
+    """Vectorized knot interpolation shared by the knot-pair decoders
+    (VW, LTTB): one searchsorted + one fused arithmetic pass instead of
+    a Python loop per knot, with the SAME multiply-then-divide grouping
+    as the scalar form (exact knot values are written last, so NaN/Inf
+    singleton knots never contaminate their own position)."""
     n = int(ki[-1]) + 1 if ki.size else 0
-    out = np.empty(n, dtype=np.float64)
-    for k in range(ki.size):
-        i = ki[k]
-        out[i] = kv[k]
-        if k + 1 < ki.size and ki[k + 1] > i + 1:
-            j = ki[k + 1]
-            t = np.arange(1, j - i, dtype=np.float64)
-            out[i + 1 : j] = kv[k] + (kv[k + 1] - kv[k]) * t / (j - i)
+    if ki.size <= 1:
+        out = np.empty(n, dtype=np.float64)
+        if n:
+            out[:] = kv[0]
+        return out
+    idx = np.arange(n, dtype=np.int64)
+    seg = np.clip(np.searchsorted(ki, idx, side="right") - 1, 0, ki.size - 2)
+    t = (idx - ki[seg]).astype(np.float64)
+    span = (ki[seg + 1] - ki[seg]).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        out = kv[seg] + (kv[seg + 1] - kv[seg]) * t / span
+    out[ki] = kv  # knots are exact (and immune to non-finite neighbors)
     return out
 
 
