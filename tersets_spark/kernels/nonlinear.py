@@ -100,6 +100,129 @@ def _eval(fam: int, params, x: np.ndarray) -> np.ndarray:
     raise ValueError(f"unknown family {fam}")
 
 
+import math
+
+#: cached per-length x tables for the scalar fast path: x = 0..n-1 is
+#: segment-local, so every sum over x (and sqrt(x), log(x+1)) depends
+#: only on n — computed once per length, reused across all segments
+_XTAB: dict[int, tuple] = {}
+
+
+def _xtab(n: int):
+    t = _XTAB.get(n)
+    if t is None:
+        xs = list(range(n))
+        sq = [math.sqrt(i) for i in xs]
+        lg = [math.log(i + 1.0) for i in xs]
+        t = (
+            float(sum(xs)),
+            float(sum(i * i for i in xs)),
+            float(sum(i**3 for i in xs)),
+            float(sum(i**4 for i in xs)),
+            sq,
+            sum(sq),
+            sum(u * u for u in sq),
+            lg,
+            sum(lg),
+            sum(g * g for g in lg),
+        )
+        _XTAB[n] = t
+    return t
+
+
+def _ls2_scalar(n, su, suu, sy, suy):
+    den = n * suu - su * su
+    if den == 0:
+        return sy / n, 0.0
+    b = (n * suy - su * sy) / den
+    a = (sy - b * su) / n
+    return a, b
+
+
+def _fit_small(fam: int, y: list, eps: float):
+    """Scalar-Python fit + bound check for short segments (the dominant
+    case on noisy data: avg segment ~3 points at the driver's eps) —
+    numpy per-call overhead swamps the arithmetic below ~30 points
+    (CLAUDE.md performance playbook). Returns params or None."""
+    n = len(y)
+    s1, s2, s3, s4, sq, ssq, ssqq, lg, slg, slgg = _xtab(n)
+    if fam == 0:
+        sy = sum(y)
+        sxy = sum(i * yi for i, yi in enumerate(y))
+        a, b = _ls2_scalar(n, s1, s2, sy, sxy)
+        for i, yi in enumerate(y):
+            if abs(yi - (a + b * i)) > eps:
+                return None
+        return (a, b, 0.0)
+    if fam == 1:
+        sy = sum(y)
+        sxy = sum(i * yi for i, yi in enumerate(y))
+        sx2y = sum(i * i * yi for i, yi in enumerate(y))
+        # Cramer's rule on the 3x3 normal equations
+        d = (
+            n * (s2 * s4 - s3 * s3)
+            - s1 * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * s3 - s2 * s2)
+        )
+        if d == 0:
+            return None
+        a = (
+            sy * (s2 * s4 - s3 * s3)
+            - s1 * (sxy * s4 - s3 * sx2y)
+            + s2 * (sxy * s3 - s2 * sx2y)
+        ) / d
+        b = (
+            n * (sxy * s4 - sx2y * s3)
+            - sy * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * sx2y - s2 * sxy)
+        ) / d
+        c = (
+            n * (s2 * sx2y - s3 * sxy)
+            - s1 * (s1 * sx2y - s2 * sxy)
+            + sy * (s1 * s3 - s2 * s2)
+        ) / d
+        for i, yi in enumerate(y):
+            if abs(yi - (a + b * i + c * i * i)) > eps:
+                return None
+        return (a, b, c)
+    if fam == 2:
+        if any(yi <= 0 for yi in y):
+            return None
+        ly = [math.log(yi) for yi in y]
+        sly = sum(ly)
+        sxly = sum(i * li for i, li in enumerate(ly))
+        la, b = _ls2_scalar(n, s1, s2, sly, sxly)
+        a = math.exp(la)
+        for i, yi in enumerate(y):
+            if abs(yi - a * math.exp(b * i)) > eps:
+                return None
+        return (a, b, 0.0)
+    if fam == 3:
+        sy = sum(y)
+        suy = sum(u * yi for u, yi in zip(sq, y))
+        a, b = _ls2_scalar(n, ssq, ssqq, sy, suy)
+        for u, yi in zip(sq, y):
+            if abs(yi - (a + b * u)) > eps:
+                return None
+        return (a, b, 0.0)
+    if fam == 4:
+        if any(yi <= 0 for yi in y):
+            return None
+        ly = [math.log(yi) for yi in y]
+        sly = sum(ly)
+        slly = sum(g * li for g, li in zip(lg, ly))
+        la, b = _ls2_scalar(n, slg, slgg, sly, slly)
+        a = math.exp(la)
+        for g, yi in zip(lg, y):
+            if abs(yi - a * math.exp(b * g)) > eps:
+                return None
+        return (a, b, 0.0)
+    return None
+
+
+_SMALL = 32  # scalar fast path below this length
+
+
 def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
     """Greedy: doubling probe for the longest prefix any family fits
     within eps; returns (end_exclusive, family, params)."""
@@ -107,6 +230,19 @@ def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
     fam_order = list(range(_FAMILIES))
 
     def probe(length: int):
+        if length == 2:
+            # two points: the exact chord, always feasible
+            return (s + 2, 0, (float(v[s]), float(v[s + 1] - v[s]), 0.0))
+        if length <= _SMALL:
+            y = v[s : s + length].tolist()
+            for fam in fam_order:
+                params = _fit_small(fam, y, eps)
+                if params is not None:
+                    if fam_order[0] != fam:
+                        fam_order.remove(fam)
+                        fam_order.insert(0, fam)
+                    return (s + length, fam, params)
+            return None
         x = np.arange(length, dtype=np.float64)
         y = v[s : s + length]
         for fam in fam_order:
