@@ -26,13 +26,17 @@ from .swing_slide import _pack_triples, decompress_triples
 
 
 def _lsq_prefix(v: np.ndarray):
+    """Prefix sums as PYTHON LISTS: _lsq_sse runs ~12k times per series
+    inside the merge heap, and plain-float indexing/arithmetic is ~6x
+    cheaper than numpy scalar ops at that call size (same IEEE doubles,
+    bit-identical results)."""
     t = np.arange(v.size, dtype=np.float64)
     return (
-        np.concatenate(([0.0], np.cumsum(v))),
-        np.concatenate(([0.0], np.cumsum(v * v))),
-        np.concatenate(([0.0], np.cumsum(v * t))),
-        np.concatenate(([0.0], np.cumsum(t))),
-        np.concatenate(([0.0], np.cumsum(t * t))),
+        np.concatenate(([0.0], np.cumsum(v))).tolist(),
+        np.concatenate(([0.0], np.cumsum(v * v))).tolist(),
+        np.concatenate(([0.0], np.cumsum(v * t))).tolist(),
+        np.concatenate(([0.0], np.cumsum(t))).tolist(),
+        np.concatenate(([0.0], np.cumsum(t * t))).tolist(),
     )
 
 

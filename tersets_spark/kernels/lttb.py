@@ -29,25 +29,37 @@ def select_indices(v: np.ndarray, k: int) -> np.ndarray:
     if k < 3:
         return np.array([0, n - 1], dtype=np.int64)
     # bucket boundaries over the n-2 interior points
-    edges = np.linspace(1, n - 1, k - 1).astype(np.int64)
+    edges = np.linspace(1, n - 1, k - 1).astype(np.int64).tolist()
     chosen = np.empty(k, dtype=np.int64)
     chosen[0], chosen[-1] = 0, n - 1
     prev = 0
+    vl = v.tolist()  # scalar loop over ~n/k-point buckets: plain floats
+    # beat numpy per-call overhead at these sizes (CLAUDE.md playbook)
     for b in range(k - 2):
         lo, hi = edges[b], edges[b + 1]
         if hi <= lo:
             hi = lo + 1
         nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < k - 1 else (n - 1, n)
         cx = (nlo + max(nhi - 1, nlo)) / 2.0
-        cy = float(np.nanmean(v[nlo : max(nhi, nlo + 1)]))
-        xs = np.arange(lo, hi, dtype=np.float64)
-        ys = v[lo:hi]
+        # nan-skipping mean of the NEXT bucket (sequential sum)
+        tot = 0.0
+        cnt = 0
+        for y in vl[nlo : max(nhi, nlo + 1)]:
+            if y == y:
+                tot += y
+                cnt += 1
+        cy = tot / cnt if cnt else float("nan")
+        vp = vl[prev]
         # 2x triangle area with vertices (prev, v[prev]), (x, y), (cx, cy)
-        area = np.abs(
-            (prev - cx) * (ys - v[prev]) - (prev - xs) * (cy - v[prev])
-        )
-        area = np.where(np.isnan(area), -1.0, area)
-        prev = lo + int(np.argmax(area))
+        pa = prev - cx
+        pb = cy - vp
+        best_a, best_i = -1.0, lo
+        for i in range(lo, hi):
+            y = vl[i]
+            a = abs(pa * (y - vp) - (prev - i) * pb)
+            if a > best_a:  # NaN compares False -> treated as -1 like before
+                best_a, best_i = a, i
+        prev = best_i
         chosen[b + 1] = prev
     return chosen
 
