@@ -42,19 +42,29 @@ class _PrefixSums:
         self.ct = np.concatenate(([0.0], np.cumsum(t)))
         self.ct2 = np.concatenate(([0.0], np.cumsum(t * t)))
         self.v = v
+        # list mirrors for the SCALAR sse/rmse (heap-merge hot path):
+        # plain-float indexing is ~6x cheaper than numpy scalars at this
+        # call size, same IEEE doubles (the vectorized sliding-window
+        # scan keeps using the numpy arrays above)
+        self.cvl = self.cv.tolist()
+        self.cv2l = self.cv2.tolist()
+        self.cvtl = self.cvt.tolist()
+        self.ctl = self.ct.tolist()
+        self.ct2l = self.ct2.tolist()
+        self.vl = v.tolist()
 
     def sse(self, s: int, e: int) -> float:
         """SSE of the line through (s, v[s]) and (e, v[e]) over [s, e]."""
         if e <= s:
             return 0.0
-        v, vs = self.v, float(self.v[s])
-        m = (float(v[e]) - vs) / (e - s)
+        vs = self.vl[s]
+        m = (self.vl[e] - vs) / (e - s)
         n = e - s + 1
-        Sv = self.cv[e + 1] - self.cv[s]
-        Sv2 = self.cv2[e + 1] - self.cv2[s]
-        Svt = self.cvt[e + 1] - self.cvt[s]
-        St = self.ct[e + 1] - self.ct[s]
-        St2 = self.ct2[e + 1] - self.ct2[s]
+        Sv = self.cvl[e + 1] - self.cvl[s]
+        Sv2 = self.cv2l[e + 1] - self.cv2l[s]
+        Svt = self.cvtl[e + 1] - self.cvtl[s]
+        St = self.ctl[e + 1] - self.ctl[s]
+        St2 = self.ct2l[e + 1] - self.ct2l[s]
         # y_j = v_j - vs, x_j = t_j - s
         Syy = Sv2 - 2 * vs * Sv + n * vs * vs
         Sxy = (Svt - s * Sv) - vs * (St - s * n)
@@ -63,7 +73,9 @@ class _PrefixSums:
         return max(sse, 0.0)
 
     def rmse(self, s: int, e: int) -> float:
-        return float(np.sqrt(self.sse(s, e) / (e - s + 1)))
+        import math
+
+        return math.sqrt(self.sse(s, e) / (e - s + 1))
 
 
 def compress_sliding_window(values: np.ndarray, config: dict | None = None) -> bytes:
@@ -75,18 +87,31 @@ def compress_sliding_window(values: np.ndarray, config: dict | None = None) -> b
     if str(cfg.get("aggregate_error_type", "rmse")).lower() != "rmse":
         raise ValueError("only aggregate_error_type='rmse' is supported")
     triples: list[tuple[float, float, int]] = []
+    ps = None
+    near = 48  # scalar near-field: on noisy data the first violation is
+    # a couple of points out, and per-candidate plain-float sse (~0.7 µs)
+    # beats the vectorized block's numpy setup (~25 µs) until this depth
     for rs, re, is_finite in finite_runs(v):
         if not is_finite:
             triples.append((float(v[rs]), float(v[rs]), rs))
             continue
-        ps = _PrefixSums(v)  # prefix sums are global; runs slice into them
+        if ps is None:  # prefix sums are global; built once, runs slice
+            ps = _PrefixSums(v)
         s = rs
         while s < re:
             def scan(hi: int, s=s) -> int:
-                es = np.arange(s + 1, hi)
-                if es.size == 0:
+                import math
+
+                lo = s + 1
+                mend = min(hi, lo + near)
+                for e in range(lo, mend):
+                    n1 = e - s + 1
+                    if math.sqrt(ps.sse(s, e) / n1) > bound:
+                        return e
+                if hi <= mend:
                     return -1
-                # vectorized rmse for all candidate ends in the block
+                es = np.arange(mend, hi)
+                # vectorized rmse for the far candidate block
                 m = (v[es] - v[s]) / (es - s)
                 n = es - s + 1
                 Syy = (ps.cv2[es + 1] - ps.cv2[s]) - 2 * v[s] * (ps.cv[es + 1] - ps.cv[s]) + n * v[s] ** 2

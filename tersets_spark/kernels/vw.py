@@ -34,17 +34,19 @@ def _simplify_run(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
     n = e - s
     if n <= 2:
         return list(range(s, e))
-    idx = np.arange(s, e)
+    idx = list(range(s, e))
+    vl = v[s:e].tolist()  # plain floats: the heap loop is scalar-bound
     nxt = list(range(1, n)) + [-1]
     prv = [-1] + list(range(n - 1))
     alive = [True] * n
     version = [0] * n
+    inf = float("inf")
 
     def area_of(i: int) -> float:
         p, q = prv[i], nxt[i]
         if p < 0 or q < 0:
-            return np.inf
-        return _area(idx[p], v[idx[p]], idx[i], v[idx[i]], idx[q], v[idx[q]])
+            return inf
+        return _area(idx[p], vl[p], idx[i], vl[i], idx[q], vl[q])
 
     heap = [(area_of(i), i, 0) for i in range(1, n - 1)]
     heapq.heapify(heap)
@@ -61,7 +63,7 @@ def _simplify_run(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
             if 0 < nb < n - 1 and alive[nb]:
                 version[nb] += 1
                 heapq.heappush(heap, (area_of(nb), nb, version[nb]))
-    return [int(idx[i]) for i in range(n) if alive[i]]
+    return [idx[i] for i in range(n) if alive[i]]
 
 
 def compress(values: np.ndarray, config: dict | None = None) -> bytes:
