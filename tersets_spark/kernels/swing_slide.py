@@ -242,7 +242,7 @@ def _push_hull(hx, hy, x, y, upper: bool) -> None:
     hy.append(y)
 
 
-def _slide_segment(v: np.ndarray, s: int, e: int, eps: float):
+def _slide_segment(v: np.ndarray, s: int, e: int, eps: float, vl: list | None = None):
     """Longest segment from s admitting an L∞ fit with maxerr <= eps.
     Returns (end_inclusive, slope, intercept) with intercept at local
     x=0 (i.e. at index s).
@@ -258,6 +258,8 @@ def _slide_segment(v: np.ndarray, s: int, e: int, eps: float):
         end = e - 1
         slope, intercept, _ = cheb_fit(v[s : end + 1])
         return end, slope, intercept
+    if vl is None:
+        vl = v.tolist()  # plain floats: the hull loops are scalar-bound
 
     def build_hulls(length: int):
         ux: list[float] = []
@@ -265,7 +267,7 @@ def _slide_segment(v: np.ndarray, s: int, e: int, eps: float):
         lx: list[float] = []
         ly: list[float] = []
         for k in range(length):
-            y = float(v[s + k])
+            y = vl[s + k]
             _push_hull(ux, uy, float(k), y, upper=True)
             _push_hull(lx, ly, float(k), y, upper=False)
         return ux, uy, lx, ly
@@ -275,7 +277,7 @@ def _slide_segment(v: np.ndarray, s: int, e: int, eps: float):
     check_at = 4
     infeasible_at = -1
     for k in range(n_max):
-        y = float(v[s + k])
+        y = vl[s + k]
         _push_hull(ux, uy, float(k), y, upper=True)
         _push_hull(lx, ly, float(k), y, upper=False)
         n = k + 1
@@ -296,7 +298,7 @@ def _slide_segment(v: np.ndarray, s: int, e: int, eps: float):
     length = last_ok
     _w, slope, intercept = _hull_width_line(ux, uy, lx, ly)
     while length < infeasible_at:
-        y = float(v[s + length])
+        y = vl[s + length]
         _push_hull(ux, uy, float(length), y, upper=True)
         _push_hull(lx, ly, float(length), y, upper=False)
         w, sl, b = _hull_width_line(ux, uy, lx, ly)
@@ -311,13 +313,14 @@ def compress_slide(values: np.ndarray, config: dict | None = None) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.float64)
     eps = _effective_eps(float((config or {}).get("abs_error_bound", 0.0)))
     triples: list[tuple[float, float, int]] = []
+    vl = v.tolist()  # once per series, shared by every segment
     for s, e, is_finite in finite_runs(v):
         if not is_finite:
             triples.append((float(v[s]), float(v[s]), s))
             continue
         start = s
         while start < e:
-            end, slope, intercept = _slide_segment(v, start, e, eps)
+            end, slope, intercept = _slide_segment(v, start, e, eps, vl)
             triples.append((intercept, intercept + slope * (end - start), end))
             start = end + 1
     return _pack_triples(triples)
