@@ -316,6 +316,29 @@ def _tier_rollup_tokens_oracle(width: int, tokens_expr: str) -> str:
     """
 
 
+def _fused_tier_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED single-pass pipeline (mapInArrow compress + verify +
+    rollup partials, all tiers in one ROLLUP exchange — the flagship
+    bench path) gated by the same oracle as the unfused chars rollup:
+    identical tier rows must fall out of the fused partials."""
+    _prep(spark)
+    from tersets_spark.operators.pipeline import (
+        fused_compress_rollup,
+        tier_rollups_fused,
+    )
+
+    fused = fused_compress_rollup(_char_tokens(spark, sf_dir))
+    tiers = tier_rollups_fused(fused)
+    return tiers.filter(F.col("tier") == "1m").select(
+        "doc_id",
+        "bucket",
+        "vmin",
+        "vmax",
+        _trunc(F.col("vsum") / F.col("vcount")).alias("vmean"),
+        "vcount",
+    )
+
+
 def _gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from tersets_spark.operators.gapfill import gapfill
@@ -1071,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_roundtrip_delta": _ts_roundtrip_query,
         "tier_rollup_words_1m": _tier_rollup_tokens_query(60, _word_tokens),
         "tier_rollup_chars_1m": _tier_rollup_tokens_query(60, _char_tokens),
+        "fused_tier_rollup_1m": _fused_tier_rollup_query,
         "dedup_exact": _dedup_exact_query,
         "minhash_jaccard_dups": _minhash_jaccard_query,
         "textstats": _textstats_query,
@@ -1162,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_roundtrip_delta": _FLOAT_ROUNDTRIP_ORACLE,
         "tier_rollup_words_1m": _tier_rollup_tokens_oracle(60, _WORD_TOKENS_ORACLE),
         "tier_rollup_chars_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
+        "fused_tier_rollup_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "minhash_jaccard_dups": _MINHASH_JACCARD_ORACLE,
         "textstats": _TEXTSTATS_ORACLE,
