@@ -933,12 +933,14 @@ def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    return simhash_near_dups(docs, prefix_bits=12, max_hamming=16).select(
-        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
-    )
+    return simhash_near_dups(
+        docs, prefix_bits=12, max_hamming=16, bucket_cap=256
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-def _simhash_oracle(prefix_bits: int = 12, max_hamming: int = 16) -> str:
+def _simhash_oracle(
+    prefix_bits: int = 12, max_hamming: int = 16, bucket_cap: int = 256
+) -> str:
     """DuckDB replica of the Catalyst SimHash: bit i of each word's
     contribution = bit i of md5_number_upper(word) (the little-endian
     first 8 digest bytes — exactly what the Spark side rebuilds from
@@ -971,10 +973,16 @@ def _simhash_oracle(prefix_bits: int = 12, max_hamming: int = 16) -> str:
             FROM chunks GROUP BY doc_id
         ), sigs AS (
             SELECT doc_id, {sig_hi} AS sig_hi, {sig_lo} AS sig_lo FROM votes
-        ), b AS (
+        ), b0 AS (
             SELECT doc_id, sig_hi, sig_lo,
                    sig_hi >> {32 - prefix_bits} AS bucket
             FROM sigs
+        ), b AS (
+            -- degenerate-bucket guard, mirrored from the engine: rows in
+            -- buckets larger than the cap never join
+            SELECT doc_id, sig_hi, sig_lo, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM b0
+            ) WHERE bsz <= {bucket_cap}
         )
         SELECT id_a, id_b, hamming FROM (
             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
