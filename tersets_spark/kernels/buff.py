@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import Method
+from ..methods import Method, check_decode_count
 from .bitstream import pack_bits, unpack_bits
 from .delta import _decode_ints, _encode_ints
 from .registry import register
@@ -54,7 +54,7 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
     mode = int(buf[0])
-    n = int(buf[1:5].view(np.uint32)[0])
+    n = check_decode_count(buf[1:5].view(np.uint32)[0])
     d = int(buf[5])
     scale = 10.0**d
     pos = 6

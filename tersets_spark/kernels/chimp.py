@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..methods import check_decode_count
+
 from .bitstream import pack_bits, unpack_bits
 
 
@@ -164,7 +166,7 @@ def decompress_chimp64(payload: bytes) -> np.ndarray:
     if len(payload) == 0:
         return np.empty(0, dtype=np.float64)
     buf = np.frombuffer(payload, dtype=np.uint8)
-    n = int(buf[:4].view(np.uint32)[0])
+    n = check_decode_count(buf[:4].view(np.uint32)[0])
     first = buf[4:12].view(np.uint64)[0]
     if n == 1:
         return np.array([first], dtype=np.uint64).view(np.float64)
@@ -475,7 +477,7 @@ def decompress_chimp128(payload: bytes) -> np.ndarray:
     if len(payload) == 0:
         return np.empty(0, dtype=np.float64)
     buf = np.frombuffer(payload, dtype=np.uint8)
-    n = int(buf[:4].view(np.uint32)[0])
+    n = check_decode_count(buf[:4].view(np.uint32)[0])
     first = buf[4:12].view(np.uint64)[0]
     if n == 1:
         return np.array([first], dtype=np.uint64).view(np.float64)

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..methods import check_decode_count
+
 from .bitstream import (
     bit_length,
     pack_bits,
@@ -115,6 +117,10 @@ def _decode_ints(buf: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     if n == 1:
         return np.array([first], dtype=np.int64), pos
     m8 = n - 1 + ((-(n - 1)) % 8)  # count padded to a multiple of 8
+    # structural guard: the packed section must actually be present — a
+    # corrupt count would otherwise size a multi-GB unpack
+    if width and buf.size - pos < width * m8 // 8:
+        raise ValueError("truncated delta payload: packed section short")
     rebased = unpack_bits(buf[pos:], np.full(m8, width, dtype=np.int64))[: n - 1]
     pos += width * m8 // 8
     md_u = np.array([min_delta], dtype=np.int64).view(np.uint64)[0]
@@ -341,19 +347,23 @@ def decompress(payload: bytes) -> np.ndarray:
         return np.empty(0, dtype=np.float64)
     buf = np.frombuffer(payload, dtype=np.uint8)
     mode = int(buf[0])
-    n = int(buf[1:5].view(np.uint32)[0])
+    n = check_decode_count(buf[1:5].view(np.uint32)[0])
     scale = buf[5:13].view(np.float64)[0]
     pos = 13
     if mode == 0:
         ints, _ = _decode_ints(buf[pos:], n)
-        return ints.astype(np.float64) / scale
+        with np.errstate(over="ignore"):  # corrupt scale -> inf, not warn
+            return ints.astype(np.float64) / scale
+    if buf.size - pos < (n + 7) // 8:
+        raise ValueError("truncated delta payload: presence mask short")
     mask_bits = unpack_bits(buf[pos:], np.full(n, 1, dtype=np.int64)).astype(bool)
     pos += (n + 7) // 8
     out = np.empty(n, dtype=np.float64)
     n_ok = int(mask_bits.sum())
     if n_ok:
         ints, used = _decode_ints(buf[pos:], n_ok)
-        out[mask_bits] = ints.astype(np.float64) / scale
+        with np.errstate(over="ignore"):
+            out[mask_bits] = ints.astype(np.float64) / scale
         pos += used
     n_raw = n - n_ok
     if n_raw:

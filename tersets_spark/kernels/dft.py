@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import Method
+from ..methods import Method, check_decode_count
 from .registry import register
 
 
@@ -41,8 +41,8 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
 
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
-    n = int(buf[0:4].view(np.uint32)[0])
-    k = int(buf[4:8].view(np.uint32)[0])
+    n = check_decode_count(buf[0:4].view(np.uint32)[0])
+    k = check_decode_count(buf[4:8].view(np.uint32)[0], "coefficient count")
     pos = 8
     idx = buf[pos : pos + 4 * k].view(np.uint32).astype(np.int64)
     pos += 4 * k

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import Method
+from ..methods import Method, check_decode_count
 from .chimp import _decode_xor_sections, _encode_xor_sections
 from .bitstream import pack_bits, unpack_bits
 from .registry import register
@@ -110,7 +110,7 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
 
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
-    n = int(buf[:4].view(np.uint32)[0])
+    n = check_decode_count(buf[:4].view(np.uint32)[0])
     pos = 4
     ok = unpack_bits(buf[pos:], np.full(n, 1, dtype=np.int64)).astype(bool)
     pos += (n + 7) // 8

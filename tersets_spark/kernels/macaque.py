@@ -25,7 +25,7 @@ import math
 
 import numpy as np
 
-from ..methods import Method
+from ..methods import Method, check_decode_count
 from .chimp import _decode_xor_sections, _encode_xor_sections
 from .registry import register
 from .bitstream import pack_bits, unpack_bits
@@ -79,7 +79,7 @@ def compress_s(values: np.ndarray, config: dict | None = None) -> bytes:
 
 def decompress_s(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
-    n = int(buf[:4].view(np.uint32)[0])
+    n = check_decode_count(buf[:4].view(np.uint32)[0])
     pos = 4
     signexp = unpack_bits(buf[pos:], np.full(n, 12, dtype=np.int64))
     pos += (12 * n + 7) // 8
@@ -106,7 +106,7 @@ def compress_v(values: np.ndarray, config: dict | None = None) -> bytes:
 
 def decompress_v(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
-    n = int(buf[:4].view(np.uint32)[0])
+    n = check_decode_count(buf[:4].view(np.uint32)[0])
     first = buf[4:12].view(np.uint64)[0]
     if n == 1:
         return np.array([first], dtype=np.uint64).view(np.float64)

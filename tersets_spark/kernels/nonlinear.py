@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import Method
+from ..methods import Method, check_decode_count
 from .registry import register
 from .segmentation import finite_runs
 
@@ -374,7 +374,7 @@ def decompress(payload: bytes) -> np.ndarray:
     start = 0
     for _ in range(n_seg):
         fam = int(buf[pos])
-        end = int(buf[pos + 1 : pos + 9].view(np.uint64)[0])
+        end = check_decode_count(buf[pos + 1 : pos + 9].view(np.uint64)[0], "segment end")
         params = tuple(buf[pos + 9 : pos + 33].view(np.float64))
         pos += rec
         x = np.arange(end - start, dtype=np.float64)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import Method
+from ..methods import Method, check_decode_count
 from .registry import register
 from .segmentation import finite_runs, first_violation
 
@@ -182,6 +182,10 @@ def decompress(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(payload, dtype=np.uint64)
     vals = raw[0::2].view(np.float64)
     ends = raw[1::2].astype(np.int64)
+    if ends.size:
+        check_decode_count(ends.max(initial=0), "segment end")
+        if int(ends[0]) < 0 or np.any(np.diff(ends) < 0):
+            raise ValueError("corrupt PMC payload: ends not nondecreasing")
     starts = np.concatenate(([0], ends[:-1]))
     return np.repeat(vals, ends - starts)
 

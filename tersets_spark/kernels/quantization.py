@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import Method, QUANTIZATION_BUCKET_FACTOR
+from ..methods import Method, check_decode_count, QUANTIZATION_BUCKET_FACTOR
 from .bitstream import (
     float_bits_ordered,
     float_bits_unordered,
@@ -81,7 +81,7 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
     mode = int(buf[0])
-    n = int(buf[1:5].view(np.uint32)[0])
+    n = check_decode_count(buf[1:5].view(np.uint32)[0])
     if mode == 1:
         omin = buf[5:13].view(np.uint64)[0]
         diffs, _ = unpack_uint_stream(buf[13:], n)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..methods import check_decode_count
+
 
 def compress(values: np.ndarray, config: dict | None = None) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.float64)
@@ -36,4 +38,8 @@ def decompress(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(payload, dtype=np.uint64)
     values = raw[0::2].view(np.float64)
     counts = raw[1::2].astype(np.int64)
+    if counts.size:
+        if np.any(counts < 0):
+            raise ValueError("corrupt RLE payload: negative run")
+        check_decode_count(counts.sum(), "total run length")
     return np.repeat(values, counts)

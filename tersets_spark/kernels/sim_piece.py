@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import ERROR_BOUND_MARGIN, Method
+from ..methods import ERROR_BOUND_MARGIN, Method, check_decode_count
 from .bitstream import pack_uint_stream, segment_intra_indices, unpack_uint_stream
 from .registry import register
 from .segmentation import finite_runs, first_violation
@@ -203,7 +203,7 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
 
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
-    n = int(buf[0:4].view(np.uint32)[0])
+    n = check_decode_count(buf[0:4].view(np.uint32)[0])
     n_seg = int(buf[4:8].view(np.uint32)[0])
     n_b = int(buf[8:12].view(np.uint32)[0])
     n_a = int(buf[12:16].view(np.uint32)[0])

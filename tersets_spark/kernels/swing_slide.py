@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import ERROR_BOUND_MARGIN, Method
+from ..methods import ERROR_BOUND_MARGIN, Method, check_decode_count
 from .registry import register
 from .segmentation import cheb_fit, finite_runs, first_violation
 
@@ -138,7 +138,12 @@ def decompress_swing(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(payload, dtype=np.uint64)
     kv = raw[0::2].view(np.float64)
     ki = raw[1::2].astype(np.int64)
+    # indices must be strictly increasing and plausible: ONE corrupt
+    # interior u64 would otherwise size an arange in the terabytes
+    if ki.size and (int(ki[0]) < 0 or np.any(np.diff(ki) <= 0)):
+        raise ValueError("corrupt Swing payload: knot indices not increasing")
     n = int(ki[-1]) + 1 if ki.size else 0
+    check_decode_count(n)
     out = np.empty(n, dtype=np.float64)
     for k in range(ki.size):
         i = ki[k]
@@ -168,8 +173,11 @@ def decompress_triples(payload: bytes) -> np.ndarray:
     sv = raw[0::3].view(np.float64)
     ev = raw[1::3].view(np.float64)
     ends = raw[2::3].astype(np.int64)  # inclusive end index
+    if ends.size and (int(ends[0]) < 0 or np.any(np.diff(ends) <= 0)):
+        raise ValueError("corrupt triple payload: ends not increasing")
     starts = np.concatenate(([0], ends[:-1] + 1))
     n = int(ends[-1]) + 1 if ends.size else 0
+    check_decode_count(n)
     out = np.empty(n, dtype=np.float64)
     for k in range(ends.size):
         s, e = starts[k], ends[k]

@@ -20,7 +20,7 @@ import heapq
 
 import numpy as np
 
-from ..methods import Method
+from ..methods import Method, check_decode_count
 from .registry import register
 from .segmentation import finite_runs
 
@@ -99,7 +99,9 @@ def interp_knots(kv: np.ndarray, ki: np.ndarray) -> np.ndarray:
     a Python loop per knot, with the SAME multiply-then-divide grouping
     as the scalar form (exact knot values are written last, so NaN/Inf
     singleton knots never contaminate their own position)."""
-    n = int(ki[-1]) + 1 if ki.size else 0
+    if ki.size and (int(ki[0]) < 0 or np.any(np.diff(ki) <= 0)):
+        raise ValueError("corrupt knot payload: indices not increasing")
+    n = check_decode_count(int(ki[-1]) + 1 if ki.size else 0)
     if ki.size <= 1:
         out = np.empty(n, dtype=np.float64)
         if n:

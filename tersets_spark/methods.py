@@ -196,3 +196,19 @@ def validate_config(method: Method, config: dict | None) -> dict:
             f"field(s) {sorted(missing)!r}"
         )
     return cfg
+
+
+#: decode-size safety valve: no engine blob legitimately decodes to more
+#: values than this (compress chunks at 4096 tokens; whole-series paths
+#: reject n >= 2^31 — see delta.compress). A corrupt count field would
+#: otherwise drive multi-GB allocations or minutes-long FFT grinds that
+#: Python signals cannot preempt (found by the decode fuzz suite).
+MAX_DECODE_VALUES = 1 << 27
+
+
+def check_decode_count(n: int, what: str = "value count") -> int:
+    """Validate a count/index parsed from an untrusted blob."""
+    n = int(n)
+    if n < 0 or n > MAX_DECODE_VALUES:
+        raise ValueError(f"implausible {what} {n} in compressed payload")
+    return n
