@@ -311,6 +311,23 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     idx = np.flatnonzero(blob_lens >= 13)
     if idx.size:
         is_c64[idx] = buf[blob_off[idx + 1] - 1] == _CHIMP64_BYTE
+    if is_c64.any():
+        # corrupt-count guard (blocks are read back from storage): rows
+        # whose declared count is implausible, or whose flag section
+        # alone exceeds the blob, fall back to the per-row registry
+        # decoder below (typed error instead of a multi-GB gather)
+        chk = np.flatnonzero(is_c64)
+        cnt2 = (
+            buf[blob_off[chk][:, None] + np.arange(4)[None, :]]
+            .copy()
+            .view(np.uint32)
+            .ravel()
+            .astype(np.int64)
+        )
+        m2 = np.maximum(cnt2 - 1, 0)
+        flag_bytes = (m2 + (-m2) % 8) // 8
+        ok2 = (cnt2 <= 1 << 27) & (12 + flag_bytes + 1 <= blob_lens[chk])
+        is_c64[chk[~ok2]] = False
     counts = np.zeros(n_rows, dtype=np.int64)
     out_parts: dict[int, np.ndarray] = {}
     sel = np.flatnonzero(is_c64)

@@ -285,6 +285,20 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
             & (buf[blob_off[idx + 1] - 1] == _METHOD_BYTE)
             & (scales == 1.0)
         )
+    # corrupt-count guard (tier blocks are read back from storage): a
+    # row whose declared count is implausible or whose packed section
+    # exceeds its actual blob length leaves the fast path and goes to
+    # the per-row registry decoder, which raises a typed error
+    if idx.size and is_delta0.any():
+        chk = np.flatnonzero(is_delta0)
+        h2 = buf[blob_off[chk][:, None] + np.arange(_HEADER + _INT_HEAD)[None, :]]
+        cnt2 = h2[:, 1:5].copy().view(np.uint32).ravel().astype(np.int64)
+        w2 = h2[:, 29].astype(np.int64)
+        m8_2 = np.maximum(cnt2 - 1, 0)
+        m8_2 = m8_2 + (-m8_2) % 8
+        need = _HEADER + _INT_HEAD + (w2 * m8_2) // 8 + 1
+        ok2 = (cnt2 <= 1 << 27) & (need <= blob_lens[chk])
+        is_delta0[chk[~ok2]] = False
     counts = np.zeros(n_rows, dtype=np.int64)
     sel = np.flatnonzero(is_delta0)
     out_parts: dict[int, np.ndarray] = {}
