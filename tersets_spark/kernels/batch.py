@@ -17,6 +17,7 @@ from . import chimp, delta, registry
 _BATCH_COMPRESS = {
     Method.BitPackedDeltaEncoding: delta.compress_batch,
     Method.Chimp64: chimp.compress_batch,
+    Method.Chimp128: chimp.compress_batch_chimp128,
 }
 
 

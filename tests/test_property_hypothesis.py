@@ -139,6 +139,42 @@ def test_delta_batch_advice_counterexamples():
 
 
 @settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(any_floats, min_size=0, max_size=180),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_chimp128_batch_matches_single(rows):
+    """chimp128 batch blobs are byte-identical to the single-series
+    encoder (predictor table, offs section and xor sections) and decode
+    bitwise, for ANY floats incl. NaN/Inf."""
+    from tersets_spark.kernels import chimp
+
+    arrays = [np.asarray(r, dtype=np.float64) for r in rows]
+    flat = np.concatenate(arrays) if arrays else np.empty(0)
+    offs = np.concatenate(([0], np.cumsum([a.size for a in arrays]))).astype(np.int64)
+    blobs = chimp.compress_batch_chimp128(flat, offs)
+    for a, b in zip(arrays, blobs):
+        assert bytes(b) == compress(a, Method.Chimp128)
+        out = decompress(bytes(b))
+        assert np.array_equal(out.view(np.uint64), a.view(np.uint64))
+
+
+def test_chimp128_batch_long_row_dispatch():
+    """The long-row path (per-row encoder) must emit identical blobs."""
+    from tersets_spark.kernels import chimp
+
+    rng = np.random.default_rng(9)
+    rows = [rng.normal(0, 100, 3000), rng.normal(0, 1, 2500)]
+    flat = np.concatenate(rows)
+    offs = np.concatenate(([0], np.cumsum([r.size for r in rows]))).astype(np.int64)
+    for b, r in zip(chimp.compress_batch_chimp128(flat, offs), rows):
+        assert bytes(b) == compress(r, Method.Chimp128)
+
+
+@settings(max_examples=20, deadline=None)
 @given(st.lists(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=0, max_size=200), min_size=1, max_size=15))
 def test_chimp_batch_matches_single(rows):
     """chimp.compress_batch blobs are byte-identical to the single-series
