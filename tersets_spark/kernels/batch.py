@@ -12,12 +12,13 @@ from __future__ import annotations
 import numpy as np
 
 from ..methods import Method
-from . import chimp, delta, registry
+from . import chimp, delta, elf, registry
 
 _BATCH_COMPRESS = {
     Method.BitPackedDeltaEncoding: delta.compress_batch,
     Method.Chimp64: chimp.compress_batch,
     Method.Chimp128: chimp.compress_batch_chimp128,
+    Method.Elf: elf.compress_batch,
 }
 
 

@@ -108,6 +108,92 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
     return b"".join(parts)
 
 
+_ELF_BYTE = 26
+
+
+def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Batched Elf: β estimation, erasure and the bitwise recovery
+    verification run ONCE over the whole Arrow batch (the erasure is a
+    per-value op, so batching amortizes the 16 scale probes of _beta and
+    the per-decimal rounding groups across every row); the ok-flag / β /
+    xor sections then pack globally with per-row byte slices. Produces
+    blobs byte-identical to the single-series encoder (incl. the
+    registry's empty/single-value edge rules)."""
+    from .chimp import _batch_xor_section_bytes
+    from .bitstream import segment_intra_indices
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_rows = offsets.size - 1
+    lens = np.diff(offsets)
+    blobs: list[bytes | None] = [None] * n_rows
+    big = np.flatnonzero(lens >= 2)
+    for r in np.flatnonzero(lens == 1):
+        blobs[r] = flat[offsets[r] : offsets[r] + 1].tobytes() + bytes([0])
+    for r in np.flatnonzero(lens == 0):
+        blobs[r] = b""
+    if big.size == 0:
+        return blobs  # type: ignore[return-value]
+    v = np.ascontiguousarray(flat, dtype=np.float64)
+    bits = v.view(np.uint64)
+    # ---- global erasure + verification (identical math to compress) ----
+    beta = _beta(v)
+    needed = np.ceil(beta * _LOG2_10).astype(np.int64) + 1
+    t = np.clip(52 - needed, 0, 52).astype(np.uint64)
+    mask = ~((np.uint64(1) << t) - np.uint64(1))
+    erased_bits = bits & mask
+    recovered = _decimal_round(erased_bits.view(np.float64), beta)
+    ok = (recovered.view(np.uint64) == bits) & (t > 0) & np.isfinite(v)
+    stream = np.where(ok, erased_bits, bits)
+    # ---- ok-flag section: 1-bit per value, per-row pad to x8 ----
+    fpad = lens + (-lens) % 8
+    fvals = np.zeros(int(fpad.sum()), dtype=np.uint64)
+    dst = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], lens) + (
+        segment_intra_indices(lens)
+    )
+    fvals[dst] = ok.astype(np.uint64)
+    flags_packed = memoryview(pack_bits(fvals, 1))
+    f_boff = np.concatenate(([0], np.cumsum(fpad // 8)))
+    f_real = (lens + 7) // 8
+    # ---- beta section: 4-bit per ok value, per-row pad to x2 ----
+    row_of = np.repeat(np.arange(n_rows), lens)
+    m_ok = np.bincount(row_of[ok], minlength=n_rows).astype(np.int64)
+    bpad = m_ok + m_ok % 2
+    bvals = np.zeros(int(bpad.sum()), dtype=np.uint64)
+    dst = np.repeat(np.concatenate(([0], np.cumsum(bpad)))[:-1], m_ok) + (
+        segment_intra_indices(m_ok)
+    )
+    bvals[dst] = (beta[ok] - 1).astype(np.uint64)
+    beta_packed = memoryview(pack_bits(bvals, 4))
+    b_boff = np.concatenate(([0], np.cumsum(bpad * 4 // 8)))
+    b_real = (4 * m_ok + 7) // 8
+    # ---- per-row lag-1 xors over the erased stream ----
+    x_all = stream[1:] ^ stream[:-1] if stream.size > 1 else np.empty(0, np.uint64)
+    keep = row_of[1:] == row_of[:-1] if row_of.size > 1 else np.empty(0, bool)
+    xors = x_all[keep]
+    m_r = np.maximum(lens - 1, 0)
+    xrow = np.repeat(np.arange(n_rows), m_r)
+    sflags, s_boff, headers_packed, h_boff, payload_parts = (
+        _batch_xor_section_bytes(xors, xrow, m_r, n_rows)
+    )
+    head = lens.astype(np.uint32)[:, None].view(np.uint8)
+    firsts = np.zeros(n_rows, dtype=np.uint64)
+    firsts[lens > 0] = stream[offsets[:-1][lens > 0]]
+    first_bytes = firsts[:, None].view(np.uint8)
+    tail = bytes([_ELF_BYTE])
+    for r in big:
+        blobs[r] = (
+            head[r].tobytes()
+            + bytes(flags_packed[f_boff[r] : f_boff[r] + f_real[r]])
+            + bytes(beta_packed[b_boff[r] : b_boff[r] + b_real[r]])
+            + first_bytes[r].tobytes()
+            + bytes(sflags[s_boff[r] : s_boff[r + 1]])
+            + bytes(headers_packed[h_boff[r] : h_boff[r + 1]])
+            + b"".join(payload_parts[r])
+            + tail
+        )
+    return blobs  # type: ignore[return-value]
+
+
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
     n = check_decode_count(buf[:4].view(np.uint32)[0])

@@ -192,3 +192,27 @@ def test_chimp_batch_matches_single(rows):
     f2, o2 = chimp.decompress_batch(blobs)
     assert np.array_equal(o2, offs)
     assert np.array_equal(f2.view(np.uint64), flat.view(np.uint64))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(any_floats, min_size=0, max_size=150),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_elf_batch_matches_single(rows):
+    """elf.compress_batch blobs are byte-identical to the single-series
+    encoder (global erasure + verification + shared section packs) and
+    decode bitwise, for ANY floats incl. NaN/Inf/-0.0."""
+    from tersets_spark.kernels import elf
+
+    arrays = [np.asarray(r, dtype=np.float64) for r in rows]
+    flat = np.concatenate(arrays) if arrays else np.empty(0)
+    offs = np.concatenate(([0], np.cumsum([a.size for a in arrays]))).astype(np.int64)
+    blobs = elf.compress_batch(flat, offs)
+    for a, b in zip(arrays, blobs):
+        assert bytes(b) == compress(a, Method.Elf)
+        out = decompress(bytes(b))
+        assert np.array_equal(out.view(np.uint64), a.view(np.uint64))
