@@ -904,7 +904,13 @@ def _compression_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _word_tokens(spark, sf_dir)
     frames = []
-    for m in (Method.BitPackedDeltaEncoding, Method.Chimp64, Method.RunLengthEncoding):
+    for m in (
+        Method.BitPackedDeltaEncoding,
+        Method.Chimp64,
+        Method.Chimp128,
+        Method.Elf,
+        Method.RunLengthEncoding,
+    ):
         frames.append(
             roundtrip_verify(toks, m).select(
                 F.lit(m.name).alias("method"),
