@@ -430,7 +430,9 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         )
         m2 = np.maximum(cnt2 - 1, 0)
         flag_bytes = (m2 + (-m2) % 8) // 8
-        ok2 = (cnt2 <= 1 << 27) & (12 + flag_bytes + 1 <= blob_lens[chk])
+        ok2 = (cnt2 >= 2) & (cnt2 <= 1 << 27) & (
+            12 + flag_bytes + 1 <= blob_lens[chk]
+        )
         is_c64[chk[~ok2]] = False
     counts = np.zeros(n_rows, dtype=np.int64)
     out_parts: dict[int, np.ndarray] = {}
@@ -448,6 +450,7 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         f_bytes = fpad // 8
         f_starts = starts + 12
         gidx = np.repeat(f_starts, f_bytes) + segment_intra_indices(f_bytes)
+        gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
         fbits = unpack_bits(buf[gidx], np.full(int(fpad.sum()), 1, np.int64))
         # drop per-row pads
         src = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], m_r) + (
@@ -464,6 +467,7 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         h_bytes = hpad * 12 // 8
         h_starts = f_starts + f_bytes
         gidx = np.repeat(h_starts, h_bytes) + segment_intra_indices(h_bytes)
+        gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
         hbits = unpack_bits(buf[gidx], np.full(int(hpad.sum()), 12, np.int64))
         src = np.repeat(np.concatenate(([0], np.cumsum(hpad)))[:-1], c_r) + (
             segment_intra_indices(c_r)
@@ -509,6 +513,7 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
                 gidx = np.repeat(c_abs[wsel], c_bytes[wsel]) + segment_intra_indices(
                     c_bytes[wsel]
                 )
+                gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
                 gv = unpack_bits(buf[gidx], np.full(int(pads.sum()), int(w), np.int64))
                 src = np.repeat(np.concatenate(([0], np.cumsum(pads)))[:-1], c_cnt[wsel]) + (
                     segment_intra_indices(c_cnt[wsel])
@@ -534,7 +539,15 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
             series_bits = np.repeat(firsts, m_r) ^ within
         else:
             series_bits = np.empty(0, dtype=np.uint64)
+        payload_bytes = np.zeros(sel.size, dtype=np.int64)
+        if sig.size:
+            np.add.at(payload_bytes, c_rw, c_bytes)
+        expected = 12 + f_bytes + h_bytes + payload_bytes + 1
+        valid = expected == blob_lens[sel]
         for k, r in enumerate(sel):
+            if not valid[k]:
+                is_c64[r] = False  # structural mismatch -> registry path
+                continue
             part = np.empty(counts[r], dtype=np.uint64)
             part[0] = firsts[k]
             part[1:] = series_bits[x_off[k] : x_off[k + 1]]

@@ -193,10 +193,14 @@ def _fit_small(fam: int, y: list, eps: float):
         sxly = sum(i * li for i, li in enumerate(ly))
         la, b = _ls2_scalar(n, s1, s2, sly, sxly)
         a = math.exp(la)
-        for i, yi in enumerate(y):
-            if abs(yi - a * math.exp(b * i)) > eps:
-                return None
-        return (a, b, 0.0)
+        # bound check with the DECODER's arithmetic (np.exp is not
+        # correctly rounded and differs from math.exp in the last bits;
+        # the guarantee is on what decompress reproduces)
+        params = (a, b, 0.0)
+        yhat = _eval(2, params, np.arange(n, dtype=np.float64))
+        if np.abs(np.asarray(y) - yhat).max() > eps:
+            return None
+        return params
     if fam == 3:
         sy = sum(y)
         suy = sum(u * yi for u, yi in zip(sq, y))
@@ -213,10 +217,13 @@ def _fit_small(fam: int, y: list, eps: float):
         slly = sum(g * li for g, li in zip(lg, ly))
         la, b = _ls2_scalar(n, slg, slgg, sly, slly)
         a = math.exp(la)
-        for g, yi in zip(lg, y):
-            if abs(yi - a * math.exp(b * g)) > eps:
-                return None
-        return (a, b, 0.0)
+        # decoder evaluates a * np.power(x+1, b), which differs from
+        # exp(b*log(x+1)) in the last bits — verify with _eval
+        params = (a, b, 0.0)
+        yhat = _eval(4, params, np.arange(n, dtype=np.float64))
+        if np.abs(np.asarray(y) - yhat).max() > eps:
+            return None
+        return params
     return None
 
 

@@ -70,8 +70,22 @@ _load_optional_kernels()
 
 def compress(values: np.ndarray, method: Method, config: dict | None = None) -> bytes:
     """Compress one series; returns payload + trailing method byte."""
+    from ..methods import MAX_DECODE_VALUES, validate_config
+
     method = Method(method)
     v = np.ascontiguousarray(values, dtype=np.float64)
+    # strict config validation runs BEFORE the size edge rules — a
+    # misconfigured pipeline must fail on short series too (the
+    # reference parses config before compressing, configuration.zig:90)
+    cfg = validate_config(method, config)
+    if v.size > MAX_DECODE_VALUES:
+        # symmetric with the decoder's corrupt-count cap: never emit a
+        # blob decompress() would refuse — chunk longer series upstream
+        # (operators/compress.py CHUNK)
+        raise ValueError(
+            f"series of {v.size} values exceeds MAX_DECODE_VALUES "
+            f"({MAX_DECODE_VALUES}); chunk before compressing"
+        )
     if v.size == 0:
         return b""
     if v.size == 1:
@@ -79,9 +93,7 @@ def compress(values: np.ndarray, method: Method, config: dict | None = None) -> 
         return v.tobytes() + bytes([int(Method.Uncompressed)])
     if method not in KERNELS:
         raise NotImplementedError(f"method {method.name} not implemented")
-    from ..methods import validate_config
-
-    payload = KERNELS[method][0](v, validate_config(method, config))
+    payload = KERNELS[method][0](v, cfg)
     return payload + bytes([int(method)])
 
 

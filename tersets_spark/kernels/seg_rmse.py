@@ -141,11 +141,13 @@ def compress_bottom_up(values: np.ndarray, config: dict | None = None) -> bytes:
     if bound < 0 or not np.isfinite(bound):
         raise ValueError("aggregate_error_bound must be finite and >= 0")
     triples: list[tuple[float, float, int]] = []
+    ps = None
     for rs, re, is_finite in finite_runs(v):
         if not is_finite:
             triples.append((float(v[rs]), float(v[rs]), rs))
             continue
-        ps = _PrefixSums(v)
+        if ps is None:  # prefix sums are global; built once, runs slice
+            ps = _PrefixSums(v)
         # initial fine segments: adjacent pairs
         starts = list(range(rs, re, 2))
         segs = []  # (start, end) inclusive

@@ -154,6 +154,7 @@ class Config:
             "target_point_count": self.target_point_count,
             "number_of_coefficients": self.number_of_coefficients,
             "decimal_precision": self.decimal_precision,
+            "segmentation": self.segmentation,
         }
 
 

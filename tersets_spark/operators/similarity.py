@@ -148,12 +148,9 @@ def lsh_topk(
         bucket_expr(vec_col).alias("bucket"),
     )
     if bucket_cap is not None:
-        w = Window.partitionBy("bucket")
-        c = (
-            c.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= bucket_cap)
-            .drop("_bsz")
-        )
+        from .dedup import _cap_buckets
+
+        c = _cap_buckets(c, ["bucket"], bucket_cap)
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

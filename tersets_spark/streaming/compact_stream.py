@@ -95,9 +95,13 @@ def stream_compact(
         else:
             n_done, buf = 0, []
         flush = bool(state.hasTimedOut)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("seq")
-            for toks, fl in zip(pdf["tokens"], pdf["flush"]):
+        # a group's rows may arrive as SEVERAL Arrow chunks in arbitrary
+        # order (maxRecordsPerBatch splits) — concatenate first, then one
+        # global seq sort, or fragments would interleave across chunks
+        frames = [pdf for pdf in pdfs]
+        if frames:
+            allrows = pd.concat(frames, ignore_index=True).sort_values("seq")
+            for toks, fl in zip(allrows["tokens"], allrows["flush"]):
                 if toks is not None:
                     buf.extend(int(t) for t in toks)
                 flush = flush or bool(fl)

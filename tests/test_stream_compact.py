@@ -100,3 +100,50 @@ def test_stream_compact_matches_batch_blocks(spark, tmp_path):
                 toks[i * CHUNK : i * CHUNK + b.n_values], dtype=np.float64
             )
             assert bytes(b.blob) == compress(seg, Method.BitPackedDeltaEncoding)
+
+
+def test_stream_compact_multichunk_group_ordering(spark, tmp_path):
+    """Regression: a group split across MULTIPLE Arrow chunks within one
+    micro-batch (maxRecordsPerBatch below the group size) must still
+    assemble fragments in seq order — the per-chunk sort alone
+    interleaved them."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        toks = list(range(100))
+        frags = [
+            ("a", i, toks[i * 10 : (i + 1) * 10], False) for i in range(10)
+        ] + [("a", 10, None, True)]
+        src = str(tmp_path / "src_mc")
+        os.makedirs(src)
+        _write_batch(spark, os.path.join(src, "b0"), frags, time.time())
+        stream = (
+            spark.readStream.schema(
+                "doc_id string, seq long, tokens array<int>, flush boolean"
+            )
+            .parquet(os.path.join(src, "*"))
+        )
+        out = stream_compact(
+            stream, chunk=CHUNK, method=Method.BitPackedDeltaEncoding, timeout_ms=None
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_stream_compact_mc")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = sorted(
+            spark.sql("SELECT * FROM t_stream_compact_mc").collect(),
+            key=lambda r: r.chunk_id,
+        )
+        restored = np.concatenate([decompress(bytes(r.blob)) for r in rows]).astype(int)
+        assert restored.tolist() == toks
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
