@@ -1,8 +1,9 @@
 """Batched codec dispatch: route whole Arrow batches of blobs/series to
 the fastest kernel implementation.
 
-Batched implementations exist for the engine's two headline codecs
-(BitPackedDeltaEncoding and Chimp64); everything else runs per row
+Batched implementations exist for the four lossless codecs
+(BitPackedDeltaEncoding, Chimp64, Chimp128, Elf); everything else runs
+per row
 through the registry. Batch-produced blobs are byte-identical to the
 single-series encoders, so the two paths interoperate freely.
 """

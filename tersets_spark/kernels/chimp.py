@@ -345,21 +345,8 @@ def compress_batch_chimp128(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
         return blobs  # type: ignore[return-value]
     n_all = bits.size
     row_of = np.repeat(np.arange(n_rows), lens)
-    # previous same-key occurrence WITHIN the row (global indices):
-    # lexsort by (row, key, position) then look one left
-    keys = (bits & np.uint64(0x3FFF)).astype(np.int64)
-    order = np.lexsort((np.arange(n_all), keys, row_of))
-    prev_sorted = np.full(n_all, -1, dtype=np.int64)
-    if n_all > 1:
-        same = (keys[order][1:] == keys[order][:-1]) & (
-            row_of[order][1:] == row_of[order][:-1]
-        )
-        prev_sorted[1:][same] = order[:-1][same]
-    prev = np.empty(n_all, dtype=np.int64)
-    prev[order] = prev_sorted
+    pred = _chimp128_predictors(bits, row_of)
     idx = np.arange(n_all, dtype=np.int64)
-    in_window = (prev >= 0) & (idx - prev <= 128)
-    pred = np.where(in_window, prev, idx - 1)
     # non-first positions of each row, in order
     is_first = np.zeros(n_all, dtype=bool)
     is_first[offsets[:-1][lens > 0]] = True
@@ -477,6 +464,14 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         tz = (headers & np.uint64(0x3F)).astype(np.int64)
         sig = 64 - lz - tz
         crow = np.repeat(np.arange(sel.size), c_r)
+        # corrupt headers can claim lz+tz > 63 -> sig < 1, which would
+        # size NEGATIVE payload cells; mark those rows for the registry
+        # path and clamp so the batch math stays well-formed
+        bad_hdr = np.zeros(sel.size, dtype=bool)
+        oob = sig < 1
+        if oob.any():
+            np.logical_or.at(bad_hdr, crow[oob], True)
+            sig = np.maximum(sig, 1)
         # payload cells (row-major changed order; cells sorted by width
         # within each row)
         vals = np.empty(sig.size, dtype=np.uint64)
@@ -543,7 +538,7 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         if sig.size:
             np.add.at(payload_bytes, c_rw, c_bytes)
         expected = 12 + f_bytes + h_bytes + payload_bytes + 1
-        valid = expected == blob_lens[sel]
+        valid = (expected == blob_lens[sel]) & ~bad_hdr
         for k, r in enumerate(sel):
             if not valid[k]:
                 is_c64[r] = False  # structural mismatch -> registry path
@@ -563,7 +558,7 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return flat, np.concatenate(([0], np.cumsum(counts)))
 
 
-def _chimp128_predictors(bits: np.ndarray) -> np.ndarray:
+def _chimp128_predictors(bits: np.ndarray, row_of: np.ndarray | None = None) -> np.ndarray:
     """For each i >= 1, the predictor index j < i: the most recent index
     within the last 128 whose low-14-bit key matches bits[i-1]'s... —
     following chimp128.zig:77-91, the table is keyed by the low 14 bits of
@@ -571,16 +566,29 @@ def _chimp128_predictors(bits: np.ndarray) -> np.ndarray:
     Falls back to i-1 when no match is in the 128-window.
 
     Vectorized: previous-occurrence-of-same-key via argsort over
-    (key, position)."""
+    (key, position). With ``row_of`` (the batch path), matches are
+    additionally confined to the same row, so the SINGLE definition of
+    the predictor rule serves both encoders."""
     n = bits.size
     keys = (bits & np.uint64(0x3FFF)).astype(np.int64)
-    order = np.lexsort((np.arange(n), keys))
-    sorted_keys = keys[order]
+    if row_of is None:
+        order = np.lexsort((np.arange(n), keys))
+        same_group = (
+            keys[order][1:] == keys[order][:-1]
+            if n > 1
+            else np.empty(0, dtype=bool)
+        )
+    else:
+        order = np.lexsort((np.arange(n), keys, row_of))
+        same_group = (
+            (keys[order][1:] == keys[order][:-1])
+            & (row_of[order][1:] == row_of[order][:-1])
+            if n > 1
+            else np.empty(0, dtype=bool)
+        )
     prev_sorted = np.full(n, -1, dtype=np.int64)
-    same = np.empty(n - 1, dtype=bool) if n > 1 else np.empty(0, dtype=bool)
     if n > 1:
-        same = sorted_keys[1:] == sorted_keys[:-1]
-        prev_sorted[1:][same] = order[:-1][same]
+        prev_sorted[1:][same_group] = order[:-1][same_group]
     prev = np.empty(n, dtype=np.int64)
     prev[order] = prev_sorted
     idx = np.arange(n, dtype=np.int64)

@@ -299,7 +299,7 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         need = _HEADER + _INT_HEAD + (w2 * m8_2) // 8 + 1
         # mode-0 blob length is DETERMINISTIC in (count, width): require
         # exact equality, and count >= 2 (single values store Uncompressed)
-        ok2 = (cnt2 >= 2) & (cnt2 <= 1 << 27) & (need == blob_lens[chk])
+        ok2 = (cnt2 >= 2) & (cnt2 <= 1 << 27) & (w2 <= 64) & (need == blob_lens[chk])
         is_delta0[chk[~ok2]] = False
     counts = np.zeros(n_rows, dtype=np.int64)
     sel = np.flatnonzero(is_delta0)

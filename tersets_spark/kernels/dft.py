@@ -50,7 +50,11 @@ def decompress(payload: bytes) -> np.ndarray:
     pos += 8 * k
     im = buf[pos : pos + 8 * k].view(np.float64)
     spec = np.zeros(n // 2 + 1, dtype=np.complex128)
-    spec[idx] = re + 1j * im
+    # component-wise assignment, NOT re + 1j*im: the complex addition
+    # would turn a stored -0.0 real part into +0.0 and the reconstructed
+    # spectrum would no longer be bit-exact (invariant check_dft)
+    spec.real[idx] = re
+    spec.imag[idx] = im
     return np.fft.irfft(spec, n=n)
 
 
