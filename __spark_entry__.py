@@ -375,6 +375,41 @@ _GAPFILL_LOCF_ORACLE = """
 """
 
 
+def _gapfill_null_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third gap-fill mode: dense bucket spine with nulls in the gaps
+    (the raw-join shape downstream interpolators consume)."""
+    _prep(spark)
+    from tersets_spark.operators.gapfill import gapfill
+
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket")
+    hourly = ev.groupBy("user_id", bucket).agg(
+        (_scaled_sum(F.col("value")).cast("double") / (F.count("value") * 10000)).alias("vmean")
+    )
+    dense = gapfill(hourly, ["user_id"], 3600, ["vmean"], method="null")
+    return dense.select(
+        "user_id", "bucket", _trunc(F.col("vmean")).alias("vmean"), "gap_filled"
+    )
+
+
+_GAPFILL_NULL_ORACLE = """
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+               CAST(SUM(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(value) * 10000) AS vmean
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
+        FROM (SELECT user_id, min(bucket) lo, max(bucket) hi FROM hourly GROUP BY 1)
+    )
+    SELECT s.user_id, s.bucket,
+           floor(h.vmean * 1e4) / 1e4 AS vmean,
+           h.vmean IS NULL AS gap_filled
+    FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
+"""
+
+
 def _gapfill_linear_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from tersets_spark.operators.gapfill import gapfill
@@ -1088,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events_1h": _rollup_events_query("1h"),
         "rollup_events_1d": _rollup_events_query("1d"),
         "gapfill_locf_1h": _gapfill_locf_query,
+        "gapfill_null_1h": _gapfill_null_query,
         "gapfill_linear_1d": _gapfill_linear_query,
         "retention_split": _retention_split_query,
         "rollup_events_by_type_1d": _rollup_events_by_type_query,
@@ -1182,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events_1h": _rollup_events_oracle(3600),
         "rollup_events_1d": _rollup_events_oracle(86400),
         "gapfill_locf_1h": _GAPFILL_LOCF_ORACLE,
+        "gapfill_null_1h": _GAPFILL_NULL_ORACLE,
         "gapfill_linear_1d": _GAPFILL_LINEAR_ORACLE,
         "retention_split": _RETENTION_SPLIT_ORACLE,
         "rollup_events_by_type_1d": _ROLLUP_BY_TYPE_ORACLE,
