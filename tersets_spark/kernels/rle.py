@@ -41,5 +41,9 @@ def decompress(payload: bytes) -> np.ndarray:
     if counts.size:
         if np.any(counts < 0):
             raise ValueError("corrupt RLE payload: negative run")
-        check_decode_count(counts.sum(), "total run length")
+        # bound each run first, then sum with Python ints: an int64 sum of
+        # several huge (individually < 2^63) runs can wrap past 2^64 back
+        # to a small positive value and sneak past the total check
+        check_decode_count(int(counts.max()), "run length")
+        check_decode_count(sum(int(c) for c in counts), "total run length")
     return np.repeat(values, counts)

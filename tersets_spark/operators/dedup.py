@@ -277,14 +277,16 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     prefix_bits: int = 16,
     max_hamming: int = 16,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = 256,
 ) -> DataFrame:
     """Near-dup candidates: identical high ``prefix_bits`` of the
     SimHash (a cheap banded variant; rotate-and-rebucket for recall at
     scale), verified by full 64-bit hamming <= ``max_hamming``. Fully
-    Catalyst and oracle-reproducible (DuckDB ``md5_number_upper``);
-    when ``bucket_cap`` is set the oracle must apply the same per-bucket
-    count filter."""
+    Catalyst and oracle-reproducible (DuckDB ``md5_number_upper``); the
+    oracle must apply the same per-bucket count filter as ``bucket_cap``
+    (the driver query and ``_simhash_oracle`` both use 256). The
+    scale-safe capped join is the DEFAULT; pass ``bucket_cap=None`` only
+    for exhaustive small-corpus audits."""
     sigs = simhash_signatures(df, text_col, id_col)
     b = sigs.select(
         F.col(id_col).alias("_id"),

@@ -127,6 +127,12 @@ def check_pwch(v, blob, out, cfg) -> bool:
     edge = _edge(v, blob, out)
     if edge is not None:
         return edge
+    # the histogram kernels REJECT non-finite input (histogram.py raises
+    # before encoding), so no valid multi-point blob exists for such a
+    # series — fail deterministically instead of letting NaN comparisons
+    # decide (NaN != NaN would redden PWCH and silently green PWLH)
+    if not np.isfinite(v).all():
+        return False
     k = int(cfg["histogram_bins_number"])
     raw = np.frombuffer(blob[:-1], dtype=np.uint64)
     vals = raw[0::2].view(np.float64)
@@ -150,6 +156,8 @@ def check_pwlh(v, blob, out, cfg) -> bool:
     edge = _edge(v, blob, out)
     if edge is not None:
         return edge
+    if not np.isfinite(v).all():  # see check_pwch — kernel rejects these
+        return False
     k = int(cfg["histogram_bins_number"])
     sv, ev, ends = _triples(blob)
     if ends.size == 0 or ends.size > k or int(ends[-1]) != v.size - 1:

@@ -235,6 +235,7 @@ def ivf_topk(
     nprobe: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_cap: int | None = 65536,
 ) -> DataFrame:
     """IVF approximate nearest neighbors — the engine's primary ANN
     scale path: corpus rows live in their argmax-cosine centroid cell,
@@ -242,13 +243,24 @@ def ivf_topk(
     within probed cells. Everything after centroid training is Catalyst
     (cell assignment = argmax over inlined centroid dots; the cell
     equi-join replaces the cross join). Scan fraction ~= nprobe /
-    n_cells; recall rises with nprobe."""
+    n_cells; recall rises with nprobe.
+
+    ``cell_cap`` is the same degenerate-bucket guard as the LSH paths: a
+    clustered corpus (boilerplate embeddings) can pile into ONE hot cell
+    that every probing query then joins against — quadratic at scale.
+    Corpus rows in cells larger than the cap are dropped from the index
+    (the right production fix is re-splitting hot cells with more
+    centroids; the cap bounds the damage until retraining)."""
     dots = _cell_dots(vec_col, centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         F.array_max(dots)["c"].alias("cell"),
     )
+    if cell_cap is not None:
+        from .dedup import _cap_buckets
+
+        c = _cap_buckets(c, ["cell"], cell_cap)
     probes = F.transform(
         F.slice(F.reverse(F.array_sort(dots)), 1, nprobe), lambda s: s["c"]
     )
@@ -282,6 +294,7 @@ def ivf_mean_recall(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     recall_floor: float = 0.5,
+    cell_cap: int | None = 65536,
 ) -> DataFrame:
     """Recall gate for the IVF path: mean recall@k across the query set
     vs the exact brute-force top-k, as ONE oracle-checkable row
@@ -289,15 +302,52 @@ def ivf_mean_recall(
     exact = brute_topk_sql(corpus, queries, k, vec_col, id_col).select(
         "query_id", "neighbor_id"
     )
-    approx = ivf_topk(corpus, queries, centroids, k, nprobe, vec_col, id_col).select(
-        "query_id", F.col("neighbor_id").alias("nb_ivf")
-    )
+    approx = ivf_topk(
+        corpus, queries, centroids, k, nprobe, vec_col, id_col, cell_cap
+    ).select("query_id", F.col("neighbor_id").alias("nb_ivf"))
     hits = exact.join(
         approx,
         (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb_ivf),
         "left",
     ).groupBy(exact.query_id.alias("qid")).agg(
         (F.count("nb_ivf") / F.count("*")).alias("recall")
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (F.avg("recall") >= recall_floor).alias("mean_recall_ok"),
+    )
+
+
+def lsh_mean_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    recall_floor: float = 0.5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Mean recall@k gate for the LSH ANN path vs the exact brute-force
+    top-k, as ONE oracle-checkable row ``(n_queries, mean_recall_ok)`` —
+    the same hard-gate shape as :func:`ivf_mean_recall`. Choose
+    ``n_planes`` (scan fraction ~= (n_planes+1)/2^n_planes with 1-bit
+    multi-probe) so the floor is honest for the corpus at hand."""
+    exact = brute_topk_sql(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(
+        corpus, queries, k, vec_col, id_col, n_planes, seed,
+        dim=dim, bucket_cap=bucket_cap,
+    ).select("query_id", F.col("neighbor_id").alias("nb_lsh"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb_lsh),
+        "left",
+    ).groupBy(exact.query_id.alias("qid")).agg(
+        (F.count("nb_lsh") / F.count("*")).alias("recall")
     )
     return hits.agg(
         F.count("*").cast("long").alias("n_queries"),

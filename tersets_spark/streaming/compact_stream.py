@@ -79,7 +79,14 @@ def stream_compact(
     production mode — note the engine then never goes trigger-idle, as
     Spark schedules batches to fire timeouts). ``timeout_ms=None``
     flushes ONLY on explicit flush records, which keeps
-    ``processAllAvailable`` semantics for tests and bounded replays."""
+    ``processAllAvailable`` semantics for tests and bounded replays.
+
+    Late fragments: a flush leaves a tombstone ``(n_done, [])`` in state,
+    so a fragment arriving after the flush continues chunk numbering at
+    ``n_done`` (no block-key collisions). If the flushed tail was a
+    partial chunk, the flush is treated as end-of-that-logical-position:
+    late chunks are numbered after it and their ``first_pos`` is the
+    nominal ``chunk_id * chunk``."""
     method_code = int(method)
     use_timeout = timeout_ms is not None
 
@@ -94,7 +101,8 @@ def stream_compact(
             buf = list(buf)
         else:
             n_done, buf = 0, []
-        flush = bool(state.hasTimedOut)
+        timed_out = bool(state.hasTimedOut)
+        flush = timed_out
         # a group's rows may arrive as SEVERAL Arrow chunks in arbitrary
         # order (maxRecordsPerBatch splits) — concatenate first, then one
         # global seq sort, or fragments would interleave across chunks
@@ -109,7 +117,19 @@ def stream_compact(
             doc_id, n_done, buf, chunk, method_code, final=flush
         )
         if flush and not buf:
-            state.remove()
+            # keep a tombstone (n_done, []) so a LATE fragment for this doc
+            # continues chunk numbering instead of silently restarting at
+            # chunk_id=0 and colliding with already-emitted block keys; the
+            # tombstone itself expires on the next idle timeout (an
+            # empty-input timed-out invocation), which bounds state. With
+            # timeouts disabled (test/replay mode) tombstones persist for
+            # the bounded run.
+            if timed_out and not frames and not rows:
+                state.remove()
+            else:
+                state.update((n_done, buf))
+                if use_timeout:
+                    state.setTimeoutDuration(timeout_ms)
         else:
             state.update((n_done, buf))
             if use_timeout:

@@ -63,16 +63,30 @@ def test_invariant_holds_hypothesis():
     def run(vals):
         v = np.asarray(vals, dtype=np.float64)
         for method, cfg, check in CASES:
-            if method in (
-                Method.PiecewiseConstantHistogram,
-                Method.PiecewiseLinearHistogram,
-            ) and not np.isfinite(v).all():
-                continue
             blob = registry.compress(v, method, cfg)
             out = registry.decompress(blob)
             assert CHECKS[check](v, blob, out, cfg) is True, (method, vals)
 
     run()
+
+
+def test_histogram_checks_nonfinite_explicit_false():
+    """The histogram kernels reject non-finite input outright, so no
+    valid multi-point blob exists for a NaN-bearing series; the checks
+    must return a deterministic False (not a NaN-comparison accident) on
+    any blob paired with such a series."""
+    v = np.array([1.0, np.nan, 3.0, 4.0])
+    for method, check in (
+        (Method.PiecewiseConstantHistogram, "pwch"),
+        (Method.PiecewiseLinearHistogram, "pwlh"),
+    ):
+        cfg = {"histogram_bins_number": 2}
+        with pytest.raises(ValueError):
+            registry.compress(v, method, cfg)
+        # pair the series with a structurally fine blob from finite data
+        finite_blob = registry.compress(np.arange(4.0), method, cfg)
+        out = registry.decompress(finite_blob)
+        assert CHECKS[check](v, finite_blob, out, cfg) is False
 
 
 def test_invariant_rejects_corruption():

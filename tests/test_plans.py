@@ -157,6 +157,29 @@ def test_ivf_join_is_equi_join_on_cell(spark):
     plan = _plan(ivf_topk(emb, queries, cents, k=3, nprobe=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_cell_cap_in_plan_and_effective(spark):
+    """IVF hot-cell guard: the default plan carries the per-cell count
+    window (same key as the cell equi-join), and a cap smaller than a
+    degenerate cell drops that cell's corpus rows from the index."""
+    import numpy as np
+
+    from tersets_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    # ONE centroid -> every corpus row lands in the same (hot) cell
+    cents = np.ones((1, 64))
+    plan = _plan(ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4))
+    assert "Window" in plan
+    parts = [m.group(1) for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)]
+    assert any("cell" in k for k in parts), plan
+    n = ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4).count()
+    assert n == 0  # the single degenerate cell exceeded the cap
+    assert ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=None).count() > 0
     assert "EvalPython" not in plan  # assignment is inlined-centroid Catalyst
 
 
