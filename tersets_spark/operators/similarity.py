@@ -258,9 +258,18 @@ def ivf_topk(
         F.array_max(dots)["c"].alias("cell"),
     )
     if cell_cap is not None:
-        from .dedup import _cap_buckets
-
-        c = _cap_buckets(c, ["cell"], cell_cap)
+        # cell cardinality == n_cells (tiny), so the LSH paths' count-
+        # window guard would funnel the WHOLE corpus through n_cells
+        # reducers — the exact skew it exists to prevent. A map-side
+        # partial count (n_cells rows) + broadcast semi-join does the
+        # same filter with no full-data exchange.
+        ok_cells = (
+            c.groupBy("cell")
+            .count()
+            .filter(F.col("count") <= cell_cap)
+            .select("cell")
+        )
+        c = c.join(F.broadcast(ok_cells), "cell", "left_semi")
     probes = F.transform(
         F.slice(F.reverse(F.array_sort(dots)), 1, nprobe), lambda s: s["c"]
     )

@@ -174,9 +174,10 @@ def test_ivf_cell_cap_in_plan_and_effective(spark):
     # ONE centroid -> every corpus row lands in the same (hot) cell
     cents = np.ones((1, 64))
     plan = _plan(ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4))
-    assert "Window" in plan
-    parts = [m.group(1) for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)]
-    assert any("cell" in k for k in parts), plan
+    # the guard must be the broadcast-semi-join shape (cell cardinality
+    # is tiny, so a count window would funnel the corpus through
+    # n_cells reducers) and must NOT add a full-data exchange
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan
     n = ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4).count()
     assert n == 0  # the single degenerate cell exceeded the cap
     assert ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=None).count() > 0
