@@ -250,17 +250,281 @@ def _push_hull(hx, hy, x, y, upper: bool) -> None:
     hy.append(y)
 
 
-def _slide_segment(v: np.ndarray, s: int, e: int, eps: float, vl: list | None = None):
-    """Longest segment from s admitting an L∞ fit with maxerr <= eps.
+def _width3(v: np.ndarray) -> np.ndarray:
+    """Vectorized Chebyshev band width of every 3-point window, with the
+    EXACT floating-point expressions `_hull_width_line` would evaluate on
+    the 3-point hulls (same ops, same order), so ``_width3(v)[i]/2 > eps``
+    reproduces the hull path's infeasibility decision bit-for-bit.
+
+    Case analysis mirrors `_push_hull`'s cross product ``cr = (y2-y1) -
+    (y1-y0)``: cr<0 keeps the middle point on the upper hull (band edges
+    to test: lower chord p0→p2 at sgn=+1, upper edges p0→p1/p1→p2 at
+    sgn=-1); cr>0 mirrors; cr==0 collapses both hulls to [p0, p2] and the
+    width is exactly 0. Per-edge deviations accumulate through
+    ``max(0, ·)`` exactly as the scan does; the pass-order tie-breaking
+    (strict ``<``) cannot change the *value* of the min, which is all the
+    feasibility decision uses."""
+    y0, y1, y2 = v[:-2], v[1:-1], v[2:]
+    with np.errstate(invalid="ignore", over="ignore"):
+        cr = (y2 - y1) - (y1 - y0)
+        sc = (y2 - y0) / 2.0
+        ic = y0 - sc * 0.0
+        t1c = (y1 - sc * 1.0) - ic
+        t2c = (y2 - sc * 2.0) - ic
+        s01 = (y1 - y0) / 1.0
+        i01 = y0 - s01 * 0.0
+        e01 = (y2 - s01 * 2.0) - i01
+        s12 = (y2 - y1) / 1.0
+        i12 = y1 - s12 * 1.0
+        e12a = (y0 - s12 * 0.0) - i12
+        e12b = (y2 - s12 * 2.0) - i12
+        z = np.zeros_like(cr)
+        d_chord_pos = np.maximum(np.maximum(t1c, t2c), z)
+        d_chord_neg = np.maximum(np.maximum(-t1c, -t2c), z)
+        d01_pos = np.maximum(e01, z)
+        d01_neg = np.maximum(-e01, z)
+        d12_pos = np.maximum(np.maximum(e12a, e12b), z)
+        d12_neg = np.maximum(np.maximum(-e12a, -e12b), z)
+        w_mid_up = np.minimum(d_chord_pos, np.minimum(d01_neg, d12_neg))
+        w_mid_dn = np.minimum(np.minimum(d01_pos, d12_pos), d_chord_neg)
+        return np.where(cr < 0, w_mid_up, np.where(cr > 0, w_mid_dn, 0.0))
+
+
+def _envelope_len(vl: list, s: int, e: int, eps: float, v: np.ndarray) -> int:
+    """Length of the longest ANCHORED feasible prefix from s: a line
+    through (0, v[s]) staying within ±eps of v[s..s+L-1]. Any anchored
+    line is a candidate band center, so the Chebyshev width over that
+    prefix is <= 2*eps (up to float rounding, which the caller's
+    fallback handles) — a cheap lower bound that lets the hull path skip
+    every width evaluation below it. Scalar loop for the first ~24
+    points (numpy per-call overhead dominates there), then galloping
+    vectorized blocks."""
+    anchor_v = vl[s]
+    up = np.inf
+    lo = -np.inf
+    j = s + 1
+    stop_py = min(s + 25, e)
+    while j < stop_py:
+        dt = j - s
+        dy = vl[j] - anchor_v
+        nup = (dy + eps) / dt
+        nlo = (dy - eps) / dt
+        if nup < up:
+            up = nup
+        if nlo > lo:
+            lo = nlo
+        if lo > up:
+            return dt  # j is the first infeasible point -> prefix length
+        j += 1
+    if stop_py == e:
+        return e - s
+    block = 48
+    base = stop_py - s  # points already known feasible (incl. anchor)
+    while True:
+        hi = min(s + base + block, e)
+        x = v[s + base : hi]
+        dt = np.arange(base, base + x.size, dtype=np.float64)
+        dy = x - anchor_v
+        up_c = np.minimum(up, np.minimum.accumulate((dy + eps) / dt))
+        lo_c = np.maximum(lo, np.maximum.accumulate((dy - eps) / dt))
+        bad = np.flatnonzero(lo_c > up_c)
+        if bad.size:
+            return base + int(bad[0])
+        if hi == e:
+            return e - s
+        up = float(up_c[-1])
+        lo = float(lo_c[-1])
+        base += x.size
+        block *= 2
+
+
+def _extend_hulls(ux, uy, lx, ly, vl, s, k0, k1) -> None:
+    """Push points with local x = k0..k1-1 onto both monotone-chain
+    hulls. One call per extension block; the double push is inlined with
+    the top-two vertices cached in locals, so the common no-pop case
+    costs no list indexing and no function calls."""
+    un = len(ux)
+    ln = len(lx)
+    u1x = ux[-1] if un else 0.0
+    u1y = uy[-1] if un else 0.0
+    u2x = ux[-2] if un > 1 else 0.0
+    u2y = uy[-2] if un > 1 else 0.0
+    l1x = lx[-1] if ln else 0.0
+    l1y = ly[-1] if ln else 0.0
+    l2x = lx[-2] if ln > 1 else 0.0
+    l2y = ly[-2] if ln > 1 else 0.0
+    for k in range(k0, k1):
+        x = float(k)
+        y = vl[s + k]
+        while un >= 2 and (u1x - u2x) * (y - u1y) - (u1y - u2y) * (x - u1x) >= 0:
+            ux.pop()
+            uy.pop()
+            un -= 1
+            u1x = u2x
+            u1y = u2y
+            if un >= 2:
+                u2x = ux[-2]
+                u2y = uy[-2]
+        ux.append(x)
+        uy.append(y)
+        u2x = u1x
+        u2y = u1y
+        u1x = x
+        u1y = y
+        un += 1
+        while ln >= 2 and (l1x - l2x) * (y - l1y) - (l1y - l2y) * (x - l1x) <= 0:
+            lx.pop()
+            ly.pop()
+            ln -= 1
+            l1x = l2x
+            l1y = l2y
+            if ln >= 2:
+                l2x = lx[-2]
+                l2y = ly[-2]
+        lx.append(x)
+        ly.append(y)
+        l2x = l1x
+        l2y = l1y
+        l1x = x
+        l1y = y
+        ln += 1
+
+
+def _push_undoable(ux, uy, lx, ly, x, y):
+    """Push ONE point onto both hulls, returning the popped tails so the
+    push can be reverted (used for the closing probe, where the fit must
+    come from the hull WITHOUT the violating point)."""
+    pu: list = []
+    pl: list = []
+    while len(ux) >= 2:
+        cr = (ux[-1] - ux[-2]) * (y - uy[-1]) - (uy[-1] - uy[-2]) * (x - ux[-1])
+        if cr >= 0:
+            pu.append((ux.pop(), uy.pop()))
+        else:
+            break
+    ux.append(x)
+    uy.append(y)
+    while len(lx) >= 2:
+        cr = (lx[-1] - lx[-2]) * (y - ly[-1]) - (ly[-1] - ly[-2]) * (x - lx[-1])
+        if cr <= 0:
+            pl.append((lx.pop(), ly.pop()))
+        else:
+            break
+    lx.append(x)
+    ly.append(y)
+    return pu, pl
+
+
+def _undo_push(ux, uy, lx, ly, undo) -> None:
+    pu, pl = undo
+    ux.pop()
+    uy.pop()
+    for px, py in reversed(pu):
+        ux.append(px)
+        uy.append(py)
+    lx.pop()
+    ly.pop()
+    for px, py in reversed(pl):
+        lx.append(px)
+        ly.append(py)
+
+
+def _caliper_width(ux, uy, lx, ly):
+    """Minimal vertical band via rotating calipers: the same edge
+    candidates as `_hull_width_line`, but each edge's worst opposite
+    vertex comes from a monotone antipodal pointer (deviation is concave
+    along the opposite hull and the argmax moves left as edge slopes
+    increase), so one evaluation is O(h) instead of O(h^2). Used for
+    SEARCH decisions only; the close-time fit is recomputed with the
+    full-scan `_hull_width_line`, so emitted bytes never depend on the
+    walk's tie handling."""
+    best_w = float("inf")
+    best_s = best_b = 0.0
+    for bx, by, ox, oy, sgn in ((lx, ly, ux, uy, 1.0), (ux, uy, lx, ly, -1.0)):
+        m = len(bx)
+        if m < 2:
+            continue
+        j = len(ox) - 1
+        for i in range(m - 1):
+            x0 = bx[i]
+            y0 = by[i]
+            slope = (by[i + 1] - y0) / (bx[i + 1] - x0)
+            inter = y0 - slope * x0
+            d = sgn * (oy[j] - slope * ox[j] - inter)
+            while j > 0:
+                d2 = sgn * (oy[j - 1] - slope * ox[j - 1] - inter)
+                if d2 >= d:
+                    d = d2
+                    j -= 1
+                else:
+                    break
+            if d < 0.0:
+                d = 0.0
+            if d < best_w:
+                best_w = d
+                best_s = slope
+                best_b = inter + sgn * d / 2
+    if best_w == float("inf"):
+        return 0.0, 0.0, (ly[0] if ly else 0.0)
+    return best_w, best_s, best_b
+
+
+def _bisect_fit(vl, s, lo, hi, eps):
+    """Exact boundary search in (lo, hi]: w(lo)/2 <= eps < w(hi)/2, w
+    monotone in prefix length. Rebuilds hull(lo) once, replays pushes per
+    probe. Returns (end_inclusive, slope, intercept) with the fit from
+    the full-scan `_hull_width_line` at the final feasible length."""
+    sux: list = []
+    suy: list = []
+    slx: list = []
+    sly: list = []
+    _extend_hulls(sux, suy, slx, sly, vl, s, 0, lo)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        tux, tuy, tlx, tly = sux[:], suy[:], slx[:], sly[:]
+        _extend_hulls(tux, tuy, tlx, tly, vl, s, lo, mid)
+        if _caliper_width(tux, tuy, tlx, tly)[0] / 2 <= eps:
+            lo = mid
+            sux, suy, slx, sly = tux, tuy, tlx, tly
+        else:
+            hi = mid
+    _w, fs, fb = _hull_width_line(sux, suy, slx, sly)
+    return s + lo - 1, fs, fb
+
+
+def _slide_segment(
+    v: np.ndarray,
+    s: int,
+    e: int,
+    eps: float,
+    vl: list | None = None,
+):
+    """Longest segment from s admitting an L-inf fit with maxerr <= eps.
     Returns (end_inclusive, slope, intercept) with intercept at local
     x=0 (i.e. at index s).
 
-    Incremental: the convex hulls grow point-by-point (amortized O(1)
-    per point, the engine analog of the reference's hull maintenance,
-    convex_hull.zig); the Chebyshev width is only evaluated at doubling
-    checkpoints, then the exact first-infeasible length is bisected with
-    full fits (widths are monotone in prefix length, so the stop point
-    equals the reference's streaming violation point)."""
+    Search strategy (the engine analog of the reference's O(1)-amortized
+    hull-bound maintenance, swing_slide_filter.zig:266-490 +
+    convex_hull.zig — same output, batch-friendly shape; the 3-point
+    fast path for noisy data lives in compress_slide via `_width3`):
+
+    1. anchored-envelope lower bound (`_envelope_len`): grow the hulls to
+       that length with NO width evaluations (an anchored line within eps
+       is itself a band of width <= 2*eps).
+    2. midline forward scan: every further point within eps of the
+       current optimal band's MIDLINE proves feasibility of the extended
+       prefix (old points sit within w/2 <= eps of the midline, the new
+       point within eps), so whole stretches extend with 4 flops/point
+       and one O(h) calipers evaluation per stretch.
+    3. when the midline cannot advance, probe exactly one point with an
+       undoable hull push; on infeasibility the probe is reverted and the
+       segment closes. Worst case this degenerates to one O(h) caliper
+       evaluation per point — never worse than evaluating every prefix.
+
+    Widths are monotone in prefix length, so the feasibility decisions
+    identify max{L : width(L)/2 <= eps}; the returned fit is always the
+    full-scan `_hull_width_line` over the hull of that final prefix —
+    the same object the per-prefix reference evaluation produces."""
     n_max = e - s
     if n_max <= 2:
         end = e - 1
@@ -269,52 +533,65 @@ def _slide_segment(v: np.ndarray, s: int, e: int, eps: float, vl: list | None = 
     if vl is None:
         vl = v.tolist()  # plain floats: the hull loops are scalar-bound
 
-    def build_hulls(length: int):
-        ux: list[float] = []
-        uy: list[float] = []
-        lx: list[float] = []
-        ly: list[float] = []
-        for k in range(length):
-            y = vl[s + k]
-            _push_hull(ux, uy, float(k), y, upper=True)
-            _push_hull(lx, ly, float(k), y, upper=False)
-        return ux, uy, lx, ly
-
-    ux, uy, lx, ly = [], [], [], []
-    last_ok = 2  # two points always fit exactly
-    check_at = 4
-    infeasible_at = -1
-    for k in range(n_max):
-        y = vl[s + k]
-        _push_hull(ux, uy, float(k), y, upper=True)
-        _push_hull(lx, ly, float(k), y, upper=False)
-        n = k + 1
-        if n >= check_at or n == n_max:
-            if n <= 2 or _hull_width_line(ux, uy, lx, ly)[0] / 2 <= eps:
-                last_ok = n
-                check_at = n * 2
-            else:
-                infeasible_at = n
+    L = _envelope_len(vl, s, e, eps, v)
+    ux: list = []
+    uy: list = []
+    lx: list = []
+    ly: list = []
+    _extend_hulls(ux, uy, lx, ly, vl, s, 0, L)
+    # for small prefixes the full scan costs the same as calipers — use
+    # it for the decision AND remember it, so a segment that closes here
+    # skips the close-time re-evaluation entirely
+    if L <= 8:
+        w, sl, md = _hull_width_line(ux, uy, lx, ly)
+        fit_at = L
+    else:
+        w, sl, md = _caliper_width(ux, uy, lx, ly)
+        fit_at = -1
+    if L > 2 and w / 2 > eps:
+        # float disagreement between the envelope and the Chebyshev
+        # width at the boundary (rare): bisect below the envelope length
+        return _bisect_fit(vl, s, 2, L, eps)
+    while L < n_max:
+        # shift-window scan: the current band's line can slide
+        # vertically by any delta in [w/2 - eps, eps - w/2] and still
+        # cover every included point; each new point narrows the window
+        # by delta in [dev - eps, dev + eps]. While the window stays
+        # nonempty a width-2eps band exists, so the extended prefix is
+        # feasible with 6 flops/point and no width evaluation.
+        lo_s = w / 2 - eps
+        hi_s = eps - w / 2
+        L2 = L
+        while L2 < n_max:
+            dvv = vl[s + L2] - (sl * L2 + md)
+            if dvv - eps > lo_s:
+                lo_s = dvv - eps
+            if dvv + eps < hi_s:
+                hi_s = dvv + eps
+            if lo_s > hi_s:
                 break
-    if infeasible_at < 0:
-        end = e - 1
-        _w, slope, intercept = _hull_width_line(ux, uy, lx, ly)
-        return end, slope, intercept
-    # exact boundary: rebuild hulls at the last known-feasible length,
-    # then step point-by-point (widths are monotone in prefix length)
-    ux, uy, lx, ly = build_hulls(last_ok)
-    length = last_ok
-    _w, slope, intercept = _hull_width_line(ux, uy, lx, ly)
-    while length < infeasible_at:
-        y = vl[s + length]
-        _push_hull(ux, uy, float(length), y, upper=True)
-        _push_hull(lx, ly, float(length), y, upper=False)
-        w, sl, b = _hull_width_line(ux, uy, lx, ly)
-        if w / 2 > eps:
-            break
-        slope, intercept = sl, b
-        length += 1
-    return s + length - 1, slope, intercept
+            L2 += 1
+        if L2 > L:
+            _extend_hulls(ux, uy, lx, ly, vl, s, L, L2)
+            w2, sl2, md2 = _caliper_width(ux, uy, lx, ly)
+            if w2 / 2 <= eps:
+                L, w, sl, md = L2, w2, sl2, md2
+                fit_at = -1
+                continue
+            return _bisect_fit(vl, s, L, L2, eps)  # float edge: rare
+        undo = _push_undoable(ux, uy, lx, ly, float(L), vl[s + L])
+        w2, sl2, md2 = _caliper_width(ux, uy, lx, ly)
+        if w2 / 2 <= eps:
+            L += 1
+            w, sl, md = w2, sl2, md2
+            fit_at = -1
+            continue
+        _undo_push(ux, uy, lx, ly, undo)
+        break
+    if fit_at == L:
+        return s + L - 1, sl, md
+    _w, fs, fb = _hull_width_line(ux, uy, lx, ly)
+    return s + L - 1, fs, fb
 
 
 def compress_slide(values: np.ndarray, config: dict | None = None) -> bytes:
@@ -322,12 +599,25 @@ def compress_slide(values: np.ndarray, config: dict | None = None) -> bytes:
     eps = _effective_eps(float((config or {}).get("abs_error_bound", 0.0)))
     triples: list[tuple[float, float, int]] = []
     vl = v.tolist()  # once per series, shared by every segment
+    # one vectorized pass: is the 3-point prefix at i already infeasible?
+    # (the dominant case on noisy data at tight bounds -> O(1) segments)
+    fast2 = ((_width3(v) / 2) > eps).tolist() if v.size >= 3 else None
     for s, e, is_finite in finite_runs(v):
         if not is_finite:
             triples.append((float(v[s]), float(v[s]), s))
             continue
         start = s
         while start < e:
+            if start + 2 < e and fast2 is not None and fast2[start]:
+                y0 = vl[start]
+                y1 = vl[start + 1]
+                slope = (y1 - y0) / 1.0
+                inter = y0 - slope * 0.0
+                t1 = (y1 - slope * 1.0) - inter
+                b = (inter - 0.0) if t1 > 0 else (inter + 0.0)
+                triples.append((b, b + slope * 1, start + 1))
+                start += 2
+                continue
             end, slope, intercept = _slide_segment(v, start, e, eps, vl)
             triples.append((intercept, intercept + slope * (end - start), end))
             start = end + 1
