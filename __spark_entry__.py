@@ -1181,6 +1181,53 @@ _LINEAGE_STATUS_ORACLE = """
 """
 
 
+def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal real-decode gate: synthesize REAL media payloads with
+    the engine's pure-numpy encoders (WAV/PPM/BMP/PPM-stream, 64 rows
+    deterministic), decode + embed them on executors through the
+    mapInPandas Arrow path, and emit per-kind counts plus all-true
+    quality columns (every payload decoded, every feature unit-norm).
+    DuckDB can't decode media, so the oracle pins the deterministic
+    counts and expects the gates to hold."""
+    _prep(spark)
+    from tersets_spark.operators.multimodal import extract_features, synth_real_media
+
+    media = synth_real_media(spark, 64)
+    feats = extract_features(media, decode_backend="real", on_error="null")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("feature", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    per = feats.select(
+        "kind",
+        (F.col("feature").isNotNull() & F.col("err").isNull()).alias("ok"),
+        F.when(F.col("feature").isNotNull(), F.abs(norm - 1.0) < 1e-4)
+        .otherwise(F.lit(False))
+        .alias("unit"),
+    )
+    return (
+        per.groupBy("kind")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            (F.min(F.col("ok").cast("int")) == 1).alias("all_decoded"),
+            (F.min(F.col("unit").cast("int")) == 1).alias("all_unit_norm"),
+        )
+        .orderBy("kind")
+    )
+
+
+_MEDIA_FEATURES_ORACLE = """
+    SELECT * FROM (VALUES
+        ('audio', CAST(16 AS BIGINT), true, true),
+        ('image', CAST(32 AS BIGINT), true, true),
+        ('video', CAST(16 AS BIGINT), true, true)
+    ) AS t(kind, n_media, all_decoded, all_unit_norm)
+"""
+
+
 # ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1251,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_topk_query,
         "ivf_ann_recall": _ivf_recall_query,
         "lineage_status": _lineage_status_query,
+        "media_features_real": _media_features_query,
         # lossy-catalog error-bound gates over char-token series
         "bound_pmc_midrange": _bound_query(
             Method.PoorMansCompressionMidrange, {"abs_error_bound": 2.0}
@@ -1367,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_recall": _IVF_RECALL_ORACLE,  # same all-true gate shape
         "lineage_status": _LINEAGE_STATUS_ORACLE,
         "compression_summary": _COMPRESSION_SUMMARY_ORACLE,
+        "media_features_real": _MEDIA_FEATURES_ORACLE,
         # lsh_ann_topk / ivf_ann_topk: approximate-by-design -> rows-only
         # check; their quality is gated by the *_recall rows above
     }

@@ -1,12 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata.
 
-The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
-signatures) is real and tested; the actual media decode is STUBBED —
-the container ships no image/audio libraries — behind
-``decode_backend='fake'`` (deterministic bytes-derived features) or
-``decode_backend='real'`` which raises ``NotImplementedError`` with the
-integration point documented.
+Two decode backends:
+
+* ``decode_backend='fake'`` — deterministic bytes-derived features; the
+  plumbing-only mode for synthetic payloads that aren't real media.
+* ``decode_backend='real'`` — REAL decoding of public container formats
+  via the engine's dependency-free codecs
+  (functions/media_codecs.py): WAV (RIFF/PCM) -> spectrum-band
+  embedding, PPM/BMP -> grayscale-thumbnail embedding, concatenated-PPM
+  video streams -> mean of per-frame embeddings. Undecodable payloads
+  either raise (``on_error='raise'``) or yield a null feature with the
+  error message in an ``err`` column (``on_error='null'`` — the 100-TB
+  mode, where one corrupt blob must not kill a stage).
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 keeps them page-compressed); feature extraction is ``mapInPandas`` so a
@@ -71,32 +77,104 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, dim: int = FEATURE_DIM, decode_backend: str = "fake"
+    media: DataFrame,
+    dim: int = FEATURE_DIM,
+    decode_backend: str = "fake",
+    on_error: str = "raise",
 ) -> DataFrame:
-    """(media_id, kind, feature array<float>) via mapInPandas.
+    """(media_id, kind, feature array<float>[, err]) via mapInPandas.
 
-    ``decode_backend='real'`` is the integration point for actual
-    decoders (PIL/librosa/ffmpeg) — not available in this container."""
-    if decode_backend == "real":
-        raise NotImplementedError(
-            "real media decode needs image/audio libs absent from this "
-            "container; plug a decoder into _fake_features's slot"
-        )
+    ``decode_backend='real'`` decodes the payload bytes with the pure-
+    numpy public-format codecs (WAV / PPM / PPM-stream / BMP, see
+    functions/media_codecs.py) and embeds them; ``'fake'`` derives a
+    deterministic vector from the raw bytes (plumbing mode)."""
+    if decode_backend not in ("fake", "real"):
+        raise ValueError(f"unknown decode_backend {decode_backend!r}")
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    use_real = decode_backend == "real"
+    null_mode = on_error == "null"
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imported on the executor from the shipped package zip
+        from ..functions.media_codecs import real_features
+
         for pdf in batches:
-            feats = [_fake_features(bytes(p or b""), dim) for p in pdf["payload"]]
+            feats = []
+            errs = []
+            for p in pdf["payload"]:
+                raw = bytes(p or b"")
+                try:
+                    feats.append(
+                        real_features(raw, dim) if use_real else _fake_features(raw, dim)
+                    )
+                    errs.append(None)
+                except ValueError as ex:
+                    if not null_mode:
+                        raise
+                    feats.append(None)
+                    errs.append(str(ex))
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": feats,
+            }
+            if null_mode:
+                out["err"] = errs
+            yield pd.DataFrame(out)
+
+    schema = "media_id string, kind string, feature array<float>"
+    if null_mode:
+        schema += ", err string"
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        featurize, schema=schema
+    )
+
+
+def synth_real_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic table of REAL media payloads built with the
+    engine's own encoders: PPM and BMP images, PCM16 WAV tones, and
+    3-frame concatenated-PPM video streams — real bytes end-to-end with
+    no external fixtures. Payloads are synthesized on executors inside
+    mapInPandas (no driver-side byte building)."""
+
+    base = spark.range(n_rows).select(
+        F.col("id").cast("long").alias("id"),
+        F.format_string("m_%08d", F.col("id")).alias("media_id"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media_codecs import encode_bmp, encode_ppm, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for rid, mid in zip(pdf["id"], pdf["media_id"]):
+                rng = np.random.default_rng(seed * 1_000_003 + int(rid))
+                mode = int(rid) % 4
+                if mode == 0:
+                    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                    rows.append((mid, "image", encode_ppm(img), "image/x-portable-pixmap", 32, 24, 0))
+                elif mode == 1:
+                    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                    rows.append((mid, "image", encode_bmp(img), "image/bmp", 16, 16, 0))
+                elif mode == 2:
+                    t = np.arange(800)
+                    freq = 100 + (int(rid) % 40) * 25
+                    wav = 12000 * np.sin(2 * np.pi * freq * t / 16000)
+                    rows.append((mid, "audio", encode_wav(wav), "audio/wav", 0, 0, 50))
+                else:
+                    frames = [
+                        rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+                        for _ in range(3)
+                    ]
+                    payload = b"".join(encode_ppm(f) for f in frames)
+                    rows.append((mid, "video", payload, "video/x-ppm-stream", 16, 12, 3000))
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "feature": feats,
-                }
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"],
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        featurize, schema="media_id string, kind string, feature array<float>"
-    )
+    return base.mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

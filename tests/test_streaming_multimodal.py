@@ -35,11 +35,49 @@ def test_multimodal_features_deterministic(spark):
         assert abs(float(np.linalg.norm(f1[k])) - 1.0) < 1e-5
 
 
-def test_multimodal_real_backend_stubbed(spark):
-    from tersets_spark.operators.multimodal import extract_features, synth_media
+def test_multimodal_real_backend_end_to_end(spark):
+    """Real payloads (engine-encoded WAV/PPM/BMP/PPM-stream) decoded and
+    embedded on executors through the Arrow batch path — the features
+    must match a driver-side decode of the same bytes."""
+    from tersets_spark.functions.media_codecs import real_features
+    from tersets_spark.operators.multimodal import extract_features, synth_real_media
 
-    with pytest.raises(NotImplementedError):
-        extract_features(synth_media(spark, 2), decode_backend="real")
+    media = synth_real_media(spark, 20)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode_backend="real").collect()
+    }
+    assert feats.keys() == payloads.keys() and len(feats) == 20
+    kinds = {r.media_id: r.kind for r in media.collect()}
+    assert {"image", "audio", "video"} <= set(kinds.values())
+    for mid, payload in payloads.items():
+        expected = real_features(payload)
+        assert np.allclose(np.array(feats[mid], dtype=np.float32), expected)
+
+
+def test_multimodal_real_backend_on_error_null(spark):
+    """A corrupt payload yields a null feature + err message instead of
+    killing the stage (the 100-TB mode)."""
+    from pyspark.sql import functions as SF
+
+    from tersets_spark.operators.multimodal import extract_features, synth_real_media
+
+    media = synth_real_media(spark, 8).withColumn(
+        "payload",
+        SF.when(SF.col("media_id") == "m_00000003", SF.lit(b"garbage")).otherwise(
+            SF.col("payload")
+        ),
+    )
+    out = extract_features(media, decode_backend="real", on_error="null").collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id["m_00000003"].feature is None
+    assert "unrecognized" in by_id["m_00000003"].err
+    ok = [r for r in out if r.media_id != "m_00000003"]
+    assert all(r.feature is not None and r.err is None for r in ok)
+    # raise mode propagates
+    with pytest.raises(Exception):
+        extract_features(media, decode_backend="real", on_error="raise").collect()
 
 
 def test_frame_sample_plan(spark):
