@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..methods import check_decode_count
+from ..methods import MAX_DECODE_VALUES, check_decode_count
 
 
 def compress(values: np.ndarray, config: dict | None = None) -> bytes:
@@ -41,9 +41,16 @@ def decompress(payload: bytes) -> np.ndarray:
     if counts.size:
         if np.any(counts < 0):
             raise ValueError("corrupt RLE payload: negative run")
-        # bound each run first, then sum with Python ints: an int64 sum of
-        # several huge (individually < 2^63) runs can wrap past 2^64 back
-        # to a small positive value and sneak past the total check
-        check_decode_count(int(counts.max()), "run length")
-        check_decode_count(sum(int(c) for c in counts), "total run length")
+        # bound each run first; an int64 sum of several huge (individually
+        # < 2^63) runs can wrap past 2^64 back to a small positive value
+        # and sneak past the total check, so only trust the vectorized sum
+        # when size*max proves overflow impossible — the exact big-int sum
+        # is reserved for blobs already in implausible territory
+        mx = int(counts.max())
+        check_decode_count(mx, "run length")
+        if counts.size * mx <= MAX_DECODE_VALUES:
+            total = int(counts.sum())
+        else:
+            total = sum(int(c) for c in counts)
+        check_decode_count(total, "total run length")
     return np.repeat(values, counts)
