@@ -77,6 +77,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     runs = [run_flagship() for _ in range(repeats)]
     flagship_sec, agg, n_roll = min(runs, key=lambda r: r[0])
+    toks.unpersist()  # executor storage back to the secondary queries
     timings["flagship_compress_rollup"] = round(flagship_sec, 3)
     if not agg["ok"]:
         print(json.dumps({"metric": "tokens_per_sec", "value": 0.0, "unit": "sec", "error": "roundtrip failed", "sf": sf}))
@@ -137,6 +138,11 @@ def main() -> None:
             fn(spark, sf_dir).count()
             dt = time.time() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 3)
+            if name == "minhash_jaccard_dups":
+                # the pipeline persists its candidate set internally and
+                # each pass builds a fresh one — drop stale caches so
+                # pass 2 isn't measured under pass 1's storage pressure
+                spark.catalog.clearCache()
 
     out = {
         "metric": "tokens_per_sec",

@@ -77,12 +77,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
     if bits == 16:
         raw = np.frombuffer(data[: len(data) - (len(data) % (2 * ch))], dtype="<i2")
-        x = raw.astype(np.float64) / 32768.0
     else:  # 8-bit PCM is unsigned, midpoint 128
         raw = np.frombuffer(data[: len(data) - (len(data) % ch)], dtype=np.uint8)
-        x = (raw.astype(np.float64) - 128.0) / 128.0
-    if x.size > _MAX_MEDIA_SAMPLES:
+    # bound BEFORE the float64 conversion 8x-es the footprint
+    if raw.size > _MAX_MEDIA_SAMPLES:
         raise ValueError("implausible WAV sample count")
+    if bits == 16:
+        x = raw.astype(np.float64) / 32768.0
+    else:
+        x = (raw.astype(np.float64) - 128.0) / 128.0
     return x.reshape(-1, ch), int(rate)
 
 
@@ -204,7 +207,8 @@ def image_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
     resample to an s*s grid (s*s == dim) -> mean-centered unit vector.
     The classic perceptual-hash front half, numpy only."""
     side = int(np.sqrt(dim))
-    assert side * side == dim
+    if side * side != dim:
+        raise ValueError(f"image feature dim must be a perfect square, got {dim}")
     luma = (
         0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
     )

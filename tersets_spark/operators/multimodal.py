@@ -93,6 +93,10 @@ def extract_features(
     if on_error not in ("raise", "null"):
         raise ValueError(f"unknown on_error {on_error!r}")
     use_real = decode_backend == "real"
+    if use_real and int(dim**0.5) ** 2 != dim:
+        # fail at plan-build time: image embeddings are side*side luma
+        # grids, and a per-row error here would redden every image row
+        raise ValueError(f"real backend needs a perfect-square dim, got {dim}")
     null_mode = on_error == "null"
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

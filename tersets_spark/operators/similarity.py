@@ -262,7 +262,13 @@ def ivf_topk(
         # window guard would funnel the WHOLE corpus through n_cells
         # reducers — the exact skew it exists to prevent. A map-side
         # partial count (n_cells rows) + broadcast semi-join does the
-        # same filter with no full-data exchange.
+        # same filter with no full-data exchange. The assignment is
+        # persisted so the n_cells*dim dot products per corpus row (the
+        # dominant index-build cost) run ONCE, not once for the counts
+        # and again for the probe join — the cache is the in-session
+        # stand-in for materializing the IVF index table, which is what
+        # a 100-TB deployment would do between build and query.
+        c = c.persist()
         ok_cells = (
             c.groupBy("cell")
             .count()
@@ -308,18 +314,28 @@ def ivf_mean_recall(
     """Recall gate for the IVF path: mean recall@k across the query set
     vs the exact brute-force top-k, as ONE oracle-checkable row
     ``(n_queries, mean_recall_ok)``."""
-    exact = brute_topk_sql(corpus, queries, k, vec_col, id_col).select(
-        "query_id", "neighbor_id"
-    )
+    exact = brute_topk_sql(corpus, queries, k, vec_col, id_col)
     approx = ivf_topk(
         corpus, queries, centroids, k, nprobe, vec_col, id_col, cell_cap
-    ).select("query_id", F.col("neighbor_id").alias("nb_ivf"))
+    )
+    return _mean_recall_gate(exact, approx, recall_floor)
+
+
+def _mean_recall_gate(
+    exact: DataFrame, approx: DataFrame, recall_floor: float
+) -> DataFrame:
+    """Shared gate body for the ANN recall rows: per query, the fraction
+    of the EXACT top-k retrieved by the approximate top-k, averaged into
+    ONE oracle-checkable ``(n_queries, mean_recall_ok)`` row. Both
+    inputs carry (query_id, neighbor_id)."""
+    exact = exact.select("query_id", "neighbor_id")
+    approx = approx.select("query_id", F.col("neighbor_id").alias("nb_approx"))
     hits = exact.join(
         approx,
-        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb_ivf),
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb_approx),
         "left",
     ).groupBy(exact.query_id.alias("qid")).agg(
-        (F.count("nb_ivf") / F.count("*")).alias("recall")
+        (F.count("nb_approx") / F.count("*")).alias("recall")
     )
     return hits.agg(
         F.count("*").cast("long").alias("n_queries"),
@@ -344,24 +360,12 @@ def lsh_mean_recall(
     the same hard-gate shape as :func:`ivf_mean_recall`. Choose
     ``n_planes`` (scan fraction ~= (n_planes+1)/2^n_planes with 1-bit
     multi-probe) so the floor is honest for the corpus at hand."""
-    exact = brute_topk_sql(corpus, queries, k, vec_col, id_col).select(
-        "query_id", "neighbor_id"
-    )
+    exact = brute_topk_sql(corpus, queries, k, vec_col, id_col)
     approx = lsh_topk(
         corpus, queries, k, vec_col, id_col, n_planes, seed,
         dim=dim, bucket_cap=bucket_cap,
-    ).select("query_id", F.col("neighbor_id").alias("nb_lsh"))
-    hits = exact.join(
-        approx,
-        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb_lsh),
-        "left",
-    ).groupBy(exact.query_id.alias("qid")).agg(
-        (F.count("nb_lsh") / F.count("*")).alias("recall")
     )
-    return hits.agg(
-        F.count("*").cast("long").alias("n_queries"),
-        (F.avg("recall") >= recall_floor).alias("mean_recall_ok"),
-    )
+    return _mean_recall_gate(exact, approx, recall_floor)
 
 
 def lsh_recall_vs_exact(

@@ -157,12 +157,13 @@ def test_ivf_join_is_equi_join_on_cell(spark):
     plan = _plan(ivf_topk(emb, queries, cents, k=3, nprobe=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # assignment is inlined-centroid Catalyst
 
 
 def test_ivf_cell_cap_in_plan_and_effective(spark):
-    """IVF hot-cell guard: the default plan carries the per-cell count
-    window (same key as the cell equi-join), and a cap smaller than a
-    degenerate cell drops that cell's corpus rows from the index."""
+    """IVF hot-cell guard: the cap filter is a broadcast semi-join (not
+    a count window), and a cap smaller than a degenerate cell drops that
+    cell's corpus rows from the index."""
     import numpy as np
 
     from tersets_spark.operators.similarity import ivf_topk
@@ -178,10 +179,10 @@ def test_ivf_cell_cap_in_plan_and_effective(spark):
     # is tiny, so a count window would funnel the corpus through
     # n_cells reducers) and must NOT add a full-data exchange
     assert "LeftSemi" in plan and "Broadcast" in plan, plan
+    assert "EvalPython" not in plan
     n = ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4).count()
     assert n == 0  # the single degenerate cell exceeded the cap
     assert ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=None).count() > 0
-    assert "EvalPython" not in plan  # assignment is inlined-centroid Catalyst
 
 
 def test_textprofile_is_single_projection(spark):
