@@ -1181,6 +1181,73 @@ _LINEAGE_STATUS_ORACLE = """
 """
 
 
+def _embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates via hyperplane LSH, HARD oracle:
+    DuckDB replays the exact bucketing and cosine because both engines
+    compute the dot products as the identical left fold (Spark
+    ``aggregate(zip_with(...))`` vs DuckDB ``list_reduce(list_prepend(
+    0.0, ...))`` — same IEEE op sequence, bit-identical sums, so the
+    ``dot > 0`` sign bits and the threshold comparison agree exactly).
+    The synthetic embeddings are near-random (top pair cosine ~0.51), so
+    the gate uses threshold 0.4 / 4 planes to produce a non-trivial
+    candidate set."""
+    _prep(spark)
+    from tersets_spark.operators.dedup import embedding_near_dups
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    out = embedding_near_dups(
+        emb, n_planes=4, threshold=0.4, seed=42, dim=64, bucket_cap=4096
+    )
+    return out.select("id_a", "id_b", _trunc(F.col("cosine")).alias("cosine"))
+
+
+def _embedding_neardup_oracle(
+    n_planes: int = 4, threshold: float = 0.4, seed: int = 42,
+    dim: int = 64, bucket_cap: int = 4096,
+) -> str:
+    """Bit-exact DuckDB replica of ``embedding_near_dups``: same plane
+    matrix (same rng), same left-fold dot products, same bucket ints,
+    same cap filter, same truncation."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).normal(size=(n_planes, dim))
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {d}), "
+        "i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        for p in range(n_planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {fold.format(d=dim, a='v', b=plane_lits[p])} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    dot = fold.format(d=dim, a="l.v", b="r.v")
+    norm = "sqrt(" + fold.format(d=dim, a="v", b="v") + ")"
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), b0 AS (
+            SELECT vec_id, v, {norm} AS nrm, {bucket} AS bucket FROM emb
+        ), b AS (
+            SELECT vec_id, v, nrm, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM b0
+            ) WHERE bsz <= {bucket_cap}
+        )
+        SELECT id_a, id_b, floor(cosine * 1e4) / 1e4 AS cosine FROM (
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   {dot} / (l.nrm * r.nrm) AS cosine
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        ) WHERE cosine >= {threshold}
+    """
+
+
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal real-decode gate: synthesize REAL media payloads with
     the engine's pure-numpy encoders (WAV/PPM/BMP/PPM-stream, 64 rows
@@ -1299,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_recall": _ivf_recall_query,
         "lineage_status": _lineage_status_query,
         "media_features_real": _media_features_query,
+        "embedding_near_dups": _embedding_neardup_query,
         # lossy-catalog error-bound gates over char-token series
         "bound_pmc_midrange": _bound_query(
             Method.PoorMansCompressionMidrange, {"abs_error_bound": 2.0}
@@ -1416,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "lineage_status": _LINEAGE_STATUS_ORACLE,
         "compression_summary": _COMPRESSION_SUMMARY_ORACLE,
         "media_features_real": _MEDIA_FEATURES_ORACLE,
+        "embedding_near_dups": _embedding_neardup_oracle(),
         # lsh_ann_topk / ivf_ann_topk: approximate-by-design -> rows-only
         # check; their quality is gated by the *_recall rows above
     }
