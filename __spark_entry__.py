@@ -1181,6 +1181,123 @@ _LINEAGE_STATUS_ORACLE = """
 """
 
 
+def _stream_compact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful compaction, driver-visible: fragment the first
+    50 documents' char-token series across three micro-batches (two
+    halves + a flush record, file source with pinned mtimes), run the
+    applyInPandasWithState compactor, and verify every emitted block is
+    BYTE-identical to the batch encoder over the same slice with the
+    same deterministic chunk boundaries. Emits one row of totals the
+    DuckDB oracle derives from ``documents`` (block count = sum of
+    ceil(len/4096)); the all-true ``all_match`` column carries the
+    byte-parity gate."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    import numpy as np
+
+    _prep(spark)
+    from tersets_spark.kernels import registry
+    from tersets_spark.streaming.compact_stream import stream_compact
+
+    chunk = 4096
+    docs = (
+        _char_tokens(spark, sf_dir)
+        .orderBy("doc_id")
+        .limit(50)
+        .select("doc_id", "tokens")
+        .collect()
+    )  # bounded driver collect: 50 docs, same role as lineage orchestration
+    toks = {r.doc_id: list(r.tokens) for r in docs}
+    tmp = tempfile.mkdtemp(prefix="tersets_stream_q_")
+    qname = "t_stream_parity_" + uuid.uuid4().hex[:8]
+    try:
+        now = time.time()
+        schema = "doc_id string, seq long, tokens array<int>, flush boolean"
+        batches = [
+            [(d, 0, t[: len(t) // 2], False) for d, t in toks.items()],
+            [(d, 1, t[len(t) // 2 :], False) for d, t in toks.items()],
+            [(d, 2, None, True) for d in toks],
+        ]
+        for i, rows in enumerate(batches):
+            path = os.path.join(tmp, f"b{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            # file-source order is (modificationTime, path): pin mtimes so
+            # micro-batch order == fragment order
+            mt = now - 20 + 10 * i
+            for root, _d, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root, f), (mt, mt))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "*"))
+        )
+        out = stream_compact(
+            stream, chunk=chunk, method=Method.BitPackedDeltaEncoding, timeout_ms=None
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        blocks = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass  # query never registered the sink view
+    by_doc: dict[str, list] = {}
+    for b in blocks:
+        by_doc.setdefault(b.doc_id, []).append(b)
+    n_blocks = 0
+    n_tokens = 0
+    all_match = len(by_doc) == sum(1 for t in toks.values() if t)
+    for d, t in toks.items():
+        got = sorted(by_doc.get(d, []), key=lambda r: r.chunk_id)
+        if [g.chunk_id for g in got] != list(range(len(got))):
+            all_match = False
+        for i, g in enumerate(got):
+            seg = np.asarray(t[i * chunk : i * chunk + g.n_values], dtype=np.float64)
+            if (
+                g.first_pos != i * chunk
+                or bytes(g.blob) != registry.compress(seg, Method.BitPackedDeltaEncoding)
+            ):
+                all_match = False
+            n_blocks += 1
+            n_tokens += g.n_values
+        if sum(g.n_values for g in got) != len(t):
+            all_match = False
+    return spark.createDataFrame(
+        [(len(toks), n_blocks, n_tokens, bool(all_match))],
+        "n_docs long, n_blocks long, n_tokens long, all_match boolean",
+    )
+
+
+_STREAM_COMPACT_ORACLE = """
+    WITH d AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS n
+        FROM documents ORDER BY CAST(doc_id AS VARCHAR) LIMIT 50
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(ceil(n / 4096.0) AS BIGINT)) AS BIGINT) AS n_blocks,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           true AS all_match
+    FROM d
+"""
+
+
 def _embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via hyperplane LSH, HARD oracle:
     DuckDB replays the exact bucketing and cosine because both engines
@@ -1367,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_status": _lineage_status_query,
         "media_features_real": _media_features_query,
         "embedding_near_dups": _embedding_neardup_query,
+        "stream_compact_parity": _stream_compact_query,
         # lossy-catalog error-bound gates over char-token series
         "bound_pmc_midrange": _bound_query(
             Method.PoorMansCompressionMidrange, {"abs_error_bound": 2.0}
@@ -1485,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_summary": _COMPRESSION_SUMMARY_ORACLE,
         "media_features_real": _MEDIA_FEATURES_ORACLE,
         "embedding_near_dups": _embedding_neardup_oracle(),
+        "stream_compact_parity": _STREAM_COMPACT_ORACLE,
         # lsh_ann_topk / ivf_ann_topk: approximate-by-design -> rows-only
         # check; their quality is gated by the *_recall rows above
     }
