@@ -36,9 +36,17 @@ class _PrefixSums:
     def __init__(self, v: np.ndarray):
         n = v.size
         t = np.arange(n, dtype=np.float64)
-        self.cv = np.concatenate(([0.0], np.cumsum(v)))
-        self.cv2 = np.concatenate(([0.0], np.cumsum(v * v)))
-        self.cvt = np.concatenate(([0.0], np.cumsum(v * t)))
+        # prefix sums run over the WHOLE series but are only ever
+        # differenced within finite runs; a NaN/inf anywhere would
+        # contaminate every later prefix (cumsum carries it forward),
+        # silently turning all post-NaN cost comparisons False and
+        # disabling the error bound. Zero the non-finite positions: they
+        # lie outside every queried [s, e], and zeros leave the in-run
+        # differences identical (bit-for-bit on all-finite input).
+        vz = v if np.isfinite(v).all() else np.where(np.isfinite(v), v, 0.0)
+        self.cv = np.concatenate(([0.0], np.cumsum(vz)))
+        self.cv2 = np.concatenate(([0.0], np.cumsum(vz * vz)))
+        self.cvt = np.concatenate(([0.0], np.cumsum(vz * t)))
         self.ct = np.concatenate(([0.0], np.cumsum(t)))
         self.ct2 = np.concatenate(([0.0], np.cumsum(t * t)))
         self.v = v

@@ -145,13 +145,31 @@ def decompress_swing(payload: bytes) -> np.ndarray:
     n = int(ki[-1]) + 1 if ki.size else 0
     check_decode_count(n)
     out = np.empty(n, dtype=np.float64)
-    for k in range(ki.size):
-        i = ki[k]
-        out[i] = kv[k]
-        if k + 1 < ki.size and ki[k + 1] > i + 1:
-            j = ki[k + 1]
-            t = np.arange(1, j - i, dtype=np.float64)
-            out[i + 1 : j] = kv[k] + (kv[k + 1] - kv[k]) * t / (j - i)
+    if ki.size:
+        # vectorized interpolation over ALL gaps at once: for a position
+        # p in the open interval (ki[k], ki[k+1]) the loop formula is
+        # kv[k] + (kv[k+1]-kv[k]) * t / (j-i) with t = p - i — the same
+        # elementwise float expression evaluated below, so results are
+        # bit-identical. Knot positions (incl. the first, and any
+        # non-finite singleton knot) are assigned their stored value
+        # directly afterwards, never interpolated — NaN/inf payloads
+        # survive exactly.
+        first = int(ki[0])
+        if first > 0:  # positions before the first knot stay as the
+            out[:first] = kv[0]  # loop left them: uninitialized memory
+            # would leak — define them as the first knot's value
+        seg_of = np.repeat(np.arange(ki.size - 1), np.diff(ki)) if ki.size > 1 else np.empty(0, np.int64)
+        if seg_of.size:
+            p = np.arange(first, int(ki[-1]), dtype=np.int64) + 1
+            i0 = ki[seg_of]
+            t = (p - i0).astype(np.float64)
+            span = (ki[seg_of + 1] - i0).astype(np.float64)
+            with np.errstate(invalid="ignore"):  # inf-inf around
+                # non-finite knots; the knot positions themselves are
+                # overwritten below and interior gap positions next to a
+                # non-finite knot legitimately decode as NaN
+                out[first + 1 :] = kv[seg_of] + (kv[seg_of + 1] - kv[seg_of]) * t / span
+        out[ki] = kv
     return out
 
 
@@ -179,13 +197,24 @@ def decompress_triples(payload: bytes) -> np.ndarray:
     n = int(ends[-1]) + 1 if ends.size else 0
     check_decode_count(n)
     out = np.empty(n, dtype=np.float64)
-    for k in range(ends.size):
-        s, e = starts[k], ends[k]
-        if e == s:
-            out[s] = sv[k]
-        else:
-            t = np.arange(0, e - s + 1, dtype=np.float64)
-            out[s : e + 1] = sv[k] + (ev[k] - sv[k]) * t / (e - s)
+    if ends.size:
+        # vectorized over ALL segments at once: within segment k the
+        # loop formula is sv[k] + (ev[k]-sv[k]) * t / (e-s) with local
+        # t — identical elementwise float ops below, so bit-identical.
+        # Singleton segments (the non-finite carrier per the engine
+        # invariant) are assigned directly afterwards so NaN/inf
+        # payloads survive exactly instead of going through 0/1
+        # arithmetic.
+        lens = ends - starts + 1
+        seg_of = np.repeat(np.arange(ends.size), lens)
+        t = (np.arange(n, dtype=np.int64) - starts[seg_of]).astype(np.float64)
+        span = np.maximum(lens[seg_of] - 1, 1).astype(np.float64)
+        with np.errstate(invalid="ignore"):  # inf-inf on singleton rows,
+            # whose positions are overwritten below
+            out[:] = sv[seg_of] + (ev[seg_of] - sv[seg_of]) * t / span
+        single = lens == 1
+        if np.any(single):
+            out[starts[single]] = sv[single]
     return out
 
 

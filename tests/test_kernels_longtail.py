@@ -124,6 +124,33 @@ def test_rmse_bound_per_segment(method, fam):
         assert rmse <= bound + 1e-9, (method.name, fam, s, e, rmse)
 
 
+@pytest.mark.parametrize("method", [Method.SlidingWindow, Method.BottomUp], ids=lambda m: m.name)
+def test_rmse_bound_survives_nan_prefix(method):
+    """Regression: a NaN BEFORE a finite run used to contaminate the
+    global prefix sums (cumsum carries NaN forward), turning every cost
+    comparison in the post-NaN runs False and silently disabling the
+    error bound — one giant segment with unbounded RMSE."""
+    rng = np.random.default_rng(3)
+    v = np.concatenate(([np.nan], rng.normal(0, 100, 200), [np.inf], rng.normal(0, 100, 50)))
+    bound = 2.0
+    cfg = {"aggregate_error_type": "rmse", "aggregate_error_bound": bound}
+    blob = compress(v, method, cfg)
+    out = decompress(blob)
+    assert out.size == v.size
+    raw = np.frombuffer(blob[:-1], dtype=np.uint64)
+    ends = raw[2::3].astype(np.int64)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    assert ends.size > 4, "NaN prefix must not collapse the segmentation"
+    for s, e in zip(starts, ends):
+        seg = v[s : e + 1]
+        if not np.isfinite(seg).all():
+            assert e == s  # non-finite values ride singleton segments
+            continue
+        seg_err = seg - out[s : e + 1]
+        rmse = float(np.sqrt(np.mean(seg_err**2)))
+        assert rmse <= bound + 1e-9, (method.name, s, e, rmse)
+
+
 @pytest.mark.parametrize(
     "method", [Method.PiecewiseConstantHistogram, Method.PiecewiseLinearHistogram],
     ids=lambda m: m.name,
