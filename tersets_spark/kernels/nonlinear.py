@@ -12,6 +12,16 @@ segmentation; the engine is *greedy longest-feasible* per segment
 (galloped), with per-family least-squares fits verified against the L∞
 bound — the error guarantee is identical, segment count may differ.
 
+Fast path: short-segment regimes (noisy/token data — 3-10x) probe
+against vectorized per-(L, family) feasibility masks (`_feas_masks`,
+L <= _K_FAST) whose sums replicate `_fit_small`'s scalar summation
+order bit-for-bit and whose residual checks use the decoder's numpy
+arithmetic; a 4-segment scalar warm-up decides per series whether the
+mask build pays for itself (long-segment series skip it entirely).
+The only decision divergence from the scalar path is np.log vs
+math.log in the exp/power fits (last-bit; both sides emit only
+self-checked bound-satisfying params).
+
 Payload: u32 count | per segment (u8 family, u64 end_exclusive,
 3 x f64 params). Families: 0 linear a+b·x, 1 quadratic a+b·x+c·x²,
 2 exponential a·e^(b·x), 3 sqrt a+b·sqrt(x), 4 power a·(x+1)^b
@@ -229,6 +239,218 @@ def _fit_small(fam: int, y: list, eps: float):
 
 _SMALL = 32  # scalar fast path below this length
 
+_K_FAST = 8  # mask fast path covers segments up to this length
+
+#: families whose log-domain fit needs y > 0
+_LOG_FAMS = (2, 4)
+
+
+def _feas_masks(v: np.ndarray, eps: float):
+    """Vectorized short-window feasibility: for every start position i
+    and L = 3.._K_FAST, whether each of the five family fits of
+    v[i:i+L] stays within the L∞ bound — plus the fitted params, so the
+    greedy scan emits without re-fitting. Sums accumulate in the same
+    j-ascending order as `_fit_small`'s scalar loops and the residual
+    checks use the DECODER's numpy arithmetic, so the masks are
+    self-consistent: a feasible (L, fam, i) always decodes within eps.
+    Returns {L: (feas_bool[5][m], params_f64[5][3][m])}."""
+    n = v.size
+    finite = np.isfinite(v)
+    vz = v if finite.all() else np.where(finite, v, 0.0)
+    pos = finite & (vz > 0)
+    with np.errstate(all="ignore"):
+        lyz = np.where(pos, np.log(np.where(pos, vz, 1.0)), 0.0)
+    out = {}
+    # running window sums, extended incrementally L-1 -> L: appending
+    # element j = L-1 to the accumulation preserves _fit_small's
+    # j-ascending summation order bit-for-bit (the L-1 prefix IS the
+    # first L-1 terms of the L sum), so no per-L rebuild is needed.
+    acc = None
+    for L in range(3, _K_FAST + 1):
+        if n < L:
+            break
+        m = n - L + 1
+        s1, s2, s3, s4, sq, ssq, ssqq, lg, slg, slgg = _xtab(L)
+        if acc is None:
+            sy = np.zeros(n)
+            sxy = np.zeros(n)
+            sx2y = np.zeros(n)
+            sly = np.zeros(n)
+            sxly = np.zeros(n)
+            ssqy = np.zeros(n)
+            slgly = np.zeros(n)
+            okfin = np.ones(n, dtype=bool)
+            okpos = np.ones(n, dtype=bool)
+            start_j = 0
+        else:
+            sy, sxy, sx2y, sly, sxly, ssqy, slgly, okfin, okpos = acc
+            start_j = L - 1
+        for j in range(start_j, L):
+            w = n - j  # windows long enough to contain element j
+            yj = vz[j:]
+            lj = lyz[j:]
+            sy = sy[:w] + yj
+            sxy = sxy[:w] + j * yj
+            sx2y = sx2y[:w] + (j * j) * yj
+            sly = sly[:w] + lj
+            sxly = sxly[:w] + j * lj
+            ssqy = ssqy[:w] + sq[j] * yj
+            slgly = slgly[:w] + lg[j] * lj
+            okfin = okfin[:w] & finite[j:]
+            okpos = okpos[:w] & pos[j:]
+        acc = (sy, sxy, sx2y, sly, sxly, ssqy, slgly, okfin, okpos)
+        sy = sy[:m]
+        sxy = sxy[:m]
+        sx2y = sx2y[:m]
+        sly = sly[:m]
+        sxly = sxly[:m]
+        ssqy = ssqy[:m]
+        slgly = slgly[:m]
+        okfin = okfin[:m]
+        okpos = okpos[:m]
+        nL = L
+        feas = []
+        params = []
+        with np.errstate(all="ignore"):
+            # fam 0: linear (replicates _ls2_scalar)
+            den = nL * s2 - s1 * s1
+            b0 = (nL * sxy - s1 * sy) / den
+            a0 = (sy - b0 * s1) / nL
+            bad = np.zeros(m, dtype=bool)
+            for j in range(L):
+                bad |= np.abs(vz[j : j + m] - (a0 + b0 * j)) > eps
+                if bad.all():
+                    break
+            feas.append(okfin & ~bad)
+            params.append((a0, b0, np.zeros(m)))
+            # fam 1: quadratic (replicates the Cramer expressions)
+            d = (
+                nL * (s2 * s4 - s3 * s3)
+                - s1 * (s1 * s4 - s3 * s2)
+                + s2 * (s1 * s3 - s2 * s2)
+            )
+            a1 = (
+                sy * (s2 * s4 - s3 * s3)
+                - s1 * (sxy * s4 - s3 * sx2y)
+                + s2 * (sxy * s3 - s2 * sx2y)
+            ) / d
+            b1 = (
+                nL * (sxy * s4 - sx2y * s3)
+                - sy * (s1 * s4 - s3 * s2)
+                + s2 * (s1 * sx2y - s2 * sxy)
+            ) / d
+            c1 = (
+                nL * (s2 * sx2y - s3 * sxy)
+                - s1 * (s1 * sx2y - s2 * sxy)
+                + sy * (s1 * s3 - s2 * s2)
+            ) / d
+            bad = np.zeros(m, dtype=bool)
+            for j in range(L):
+                bad |= np.abs(vz[j : j + m] - (a1 + b1 * j + (c1 * j) * j)) > eps
+                if bad.all():
+                    break
+            feas.append(okfin & ~bad & (d != 0))
+            params.append((a1, b1, c1))
+            # fam 2: exponential (decoder arithmetic: a * np.exp(b*x))
+            b2 = (nL * sxly - s1 * sly) / den
+            la2 = (sly - b2 * s1) / nL
+            a2 = np.exp(la2)
+            any_pos = bool(okpos.any())
+            bad = np.zeros(m, dtype=bool)
+            if any_pos:
+                for j in range(L):
+                    bad |= np.abs(vz[j : j + m] - a2 * np.exp(b2 * j)) > eps
+            feas.append(okpos & ~bad)
+            params.append((a2, b2, np.zeros(m)))
+            # fam 3: sqrt
+            den3 = nL * ssqq - ssq * ssq
+            b3 = (nL * ssqy - ssq * sy) / den3
+            a3 = (sy - b3 * ssq) / nL
+            bad = np.zeros(m, dtype=bool)
+            for j in range(L):
+                bad |= np.abs(vz[j : j + m] - (a3 + b3 * sq[j])) > eps
+                if bad.all():
+                    break
+            feas.append(okfin & ~bad)
+            params.append((a3, b3, np.zeros(m)))
+            # fam 4: power (decoder arithmetic: a * np.power(x+1, b))
+            den4 = nL * slgg - slg * slg
+            b4 = (nL * slgly - slg * sly) / den4
+            la4 = (sly - b4 * slg) / nL
+            a4 = np.exp(la4)
+            bad = np.zeros(m, dtype=bool)
+            if any_pos:
+                for j in range(L):
+                    bad |= np.abs(vz[j : j + m] - a4 * np.power(float(j + 1), b4)) > eps
+            feas.append(okpos & ~bad)
+            params.append((a4, b4, np.zeros(m)))
+        # feasibility as plain-Python lists: the probe loop does ~20
+        # scalar mask lookups per segment and list indexing is ~10x
+        # cheaper than numpy scalars. Params stay numpy — they are read
+        # once per segment, and 90 tolist passes cost more than they
+        # save (measured).
+        any_f = feas[0] | feas[1] | feas[2] | feas[3] | feas[4]
+        out[L] = ([f.tolist() for f in feas], params, any_f.tolist())
+    return out
+
+
+def _fast_longest(vl: list, s: int, e: int, masks) -> tuple | None:
+    """Mask-driven replica of `_longest_feasible`'s doubling + bisect
+    probe sequence (including the MRU family rotation) for segments the
+    _K_FAST masks cover; returns (end_exclusive, family, params) or
+    None when a probe exceeds the mask horizon (long segment — caller
+    falls back to the scalar search)."""
+    fam_order = [0, 1, 2, 3, 4]
+
+    def probe(L: int):
+        if L == 2:
+            return (s + 2, 0, (vl[s], vl[s + 1] - vl[s], 0.0))
+        if L > _K_FAST:
+            return "far"
+        row = masks.get(L)
+        if row is None:
+            return "far"
+        feas, params, any_f = row
+        if not any_f[s]:
+            return None
+        for fam in fam_order:
+            if feas[fam][s]:
+                if fam_order[0] != fam:
+                    fam_order.remove(fam)
+                    fam_order.insert(0, fam)
+                pa, pb, pc = params[fam]
+                return (s + L, fam, (float(pa[s]), float(pb[s]), float(pc[s])))
+        return None
+
+    length = 2
+    last_good = None
+    while True:
+        hi = min(s + length, e)
+        good = probe(hi - s)
+        if good == "far":
+            return None
+        if good is None:
+            break
+        last_good = good
+        if hi == e:
+            break
+        length *= 2
+    if last_good is None:
+        return (s + 1, 0, (vl[s], 0.0, 0.0))
+    lo_len = last_good[0] - s
+    hi_len = min(2 * lo_len, e - s)
+    while lo_len < hi_len:
+        mid = (lo_len + hi_len + 1) // 2
+        good = probe(mid)
+        if good == "far":
+            return None
+        if good is not None:
+            last_good = good
+            lo_len = mid
+        else:
+            hi_len = mid - 1
+    return last_good
+
 
 def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
     """Greedy: doubling probe for the longest prefix any family fits
@@ -352,6 +574,14 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
     if mode not in ("greedy", "dp"):
         raise ValueError("segmentation must be 'greedy' or 'dp'")
     segs: list[tuple[int, int, tuple]] = []  # (end_excl, family, params)
+    # mask fast path warm-up: the first few segments run the scalar
+    # search; if they come out short (noisy data — the regime where the
+    # per-probe scalar fits dominate), the per-(L, fam) masks are built
+    # once for the whole series. Long-segment series never pay the
+    # mask build. None = undecided, {} = disabled, dict = enabled.
+    masks: dict | None = None
+    vl: list = []
+    probe_lens: list[int] = []
     for rs, re, is_finite in finite_runs(v):
         if not is_finite:
             segs.append((rs + 1, 0, (float(v[rs]), 0.0, 0.0)))
@@ -361,15 +591,32 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
             continue
         s = rs
         while s < re:
-            end, fam, params = _longest_feasible(v, s, re, eps)
+            if masks is None and v.size >= 64:
+                end, fam, params = _longest_feasible(v, s, re, eps)
+                probe_lens.append(end - s)
+                if len(probe_lens) >= 4:
+                    short = sum(probe_lens) / len(probe_lens) <= _K_FAST
+                    masks = _feas_masks(v, eps) if short else {}
+                    if short:
+                        vl = v.tolist()
+                segs.append((end, fam, params))
+                s = end
+                continue
+            res = _fast_longest(vl, s, re, masks) if masks else None
+            if res is None:
+                res = _longest_feasible(v, s, re, eps)
+            end, fam, params = res
             segs.append((end, fam, params))
             s = end
-    out = bytearray(np.uint32(len(segs)).tobytes())
-    for end, fam, params in segs:
-        out += np.uint8(fam).tobytes()
-        out += np.uint64(end).tobytes()
-        out += np.asarray(params, dtype=np.float64).tobytes()
-    return bytes(out)
+    rec = np.zeros(
+        len(segs),
+        dtype=np.dtype([("fam", "u1"), ("end", "<u8"), ("p", "<f8", (3,))], align=False),
+    )
+    if segs:
+        rec["fam"] = np.fromiter((f for _, f, _ in segs), dtype=np.uint8, count=len(segs))
+        rec["end"] = np.fromiter((e for e, _, _ in segs), dtype=np.uint64, count=len(segs))
+        rec["p"] = np.asarray([p for _, _, p in segs], dtype=np.float64)
+    return np.uint32(len(segs)).tobytes() + rec.tobytes()
 
 
 def decompress(payload: bytes) -> np.ndarray:
