@@ -46,13 +46,14 @@ def _lsq_prefix(v: np.ndarray):
     cheaper than numpy scalar ops at that call size (same IEEE doubles,
     bit-identical results)."""
     t = np.arange(v.size, dtype=np.float64)
-    return (
-        np.concatenate(([0.0], np.cumsum(v))).tolist(),
-        np.concatenate(([0.0], np.cumsum(v * v))).tolist(),
-        np.concatenate(([0.0], np.cumsum(v * t))).tolist(),
-        np.concatenate(([0.0], np.cumsum(t))).tolist(),
-        np.concatenate(([0.0], np.cumsum(t * t))).tolist(),
-    )
+    with np.errstate(over="ignore"):  # see _lsq_prefix_np
+        return (
+            np.concatenate(([0.0], np.cumsum(v))).tolist(),
+            np.concatenate(([0.0], np.cumsum(v * v))).tolist(),
+            np.concatenate(([0.0], np.cumsum(v * t))).tolist(),
+            np.concatenate(([0.0], np.cumsum(t))).tolist(),
+            np.concatenate(([0.0], np.cumsum(t * t))).tolist(),
+        )
 
 
 def _lsq_sse(pref, s: int, e: int) -> tuple[float, float, float]:
@@ -81,36 +82,39 @@ def _lsq_sse(pref, s: int, e: int) -> tuple[float, float, float]:
 def _lsq_prefix_np(v: np.ndarray):
     """Prefix sums as numpy arrays for the vectorized round cost."""
     t = np.arange(v.size, dtype=np.float64)
-    return (
-        np.concatenate(([0.0], np.cumsum(v))),
-        np.concatenate(([0.0], np.cumsum(v * v))),
-        np.concatenate(([0.0], np.cumsum(v * t))),
-        np.concatenate(([0.0], np.cumsum(t))),
-        np.concatenate(([0.0], np.cumsum(t * t))),
-    )
+    with np.errstate(over="ignore"):  # |v| > ~1e154: v*v -> inf; the
+        # NaN-cost guard in _batch_starts hands such series to the heap
+        return (
+            np.concatenate(([0.0], np.cumsum(v))),
+            np.concatenate(([0.0], np.cumsum(v * v))),
+            np.concatenate(([0.0], np.cumsum(v * t))),
+            np.concatenate(([0.0], np.cumsum(t))),
+            np.concatenate(([0.0], np.cumsum(t * t))),
+        )
 
 
 def _lsq_sse_vec(prefnp, s: np.ndarray, e: np.ndarray) -> np.ndarray:
     """Vectorized `_lsq_sse` SSE over parallel [s_i, e_i] arrays (used
     only to ORDER candidate merges; the emitted fits stay scalar)."""
     cv, cv2, cvt, ct, ct2 = prefnp
-    sf = s.astype(np.float64)
-    n = (e - s + 1).astype(np.float64)
-    Sv = cv[e + 1] - cv[s]
-    Sv2 = cv2[e + 1] - cv2[s]
-    Svt = cvt[e + 1] - cvt[s]
-    St = ct[e + 1] - ct[s]
-    St2 = ct2[e + 1] - ct2[s]
-    Sx = St - sf * n
-    Sxx = St2 - 2.0 * sf * St + n * sf * sf
-    Sxy = Svt - sf * Sv
-    denom = n * Sxx - Sx * Sx
-    ok = denom > 0
-    safe = np.where(ok, denom, 1.0)
-    slope = np.where(ok, (n * Sxy - Sx * Sv) / safe, 0.0)
-    b0 = (Sv - slope * Sx) / n
-    sse = Sv2 - 2 * b0 * Sv - 2 * slope * Sxy + n * b0 * b0 + 2 * b0 * slope * Sx + slope * slope * Sxx
-    return np.where(ok, np.maximum(sse, 0.0), 0.0)
+    with np.errstate(over="ignore", invalid="ignore"):  # see _lsq_prefix_np
+        sf = s.astype(np.float64)
+        n = (e - s + 1).astype(np.float64)
+        Sv = cv[e + 1] - cv[s]
+        Sv2 = cv2[e + 1] - cv2[s]
+        Svt = cvt[e + 1] - cvt[s]
+        St = ct[e + 1] - ct[s]
+        St2 = ct2[e + 1] - ct2[s]
+        Sx = St - sf * n
+        Sxx = St2 - 2.0 * sf * St + n * sf * sf
+        Sxy = Svt - sf * Sv
+        denom = n * Sxx - Sx * Sx
+        ok = denom > 0
+        safe = np.where(ok, denom, 1.0)
+        slope = np.where(ok, (n * Sxy - Sx * Sv) / safe, 0.0)
+        b0 = (Sv - slope * Sx) / n
+        sse = Sv2 - 2 * b0 * Sv - 2 * slope * Sxy + n * b0 * b0 + 2 * b0 * slope * Sx + slope * slope * Sxx
+        return np.where(ok, np.maximum(sse, 0.0), 0.0)
 
 
 def _pick_merges(c: np.ndarray, cap: int) -> np.ndarray:
@@ -212,6 +216,12 @@ def _batch_starts(v: np.ndarray, k: int, round_costs) -> np.ndarray | None:
     while m > k:
         c = round_costs(starts)
         cand = _pick_merges(c, m - k)
+        if cand.size == 0:
+            # all-NaN costs (v*v overflow to inf -> inf-inf): no local
+            # minimum is identifiable — hand off to the heap, which
+            # drains regardless of NaN comparison results
+            round_costs.starts = starts
+            return None
         keep = np.ones(m, dtype=bool)
         keep[cand + 1] = False
         starts = starts[keep]

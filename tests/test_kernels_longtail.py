@@ -124,6 +124,24 @@ def test_rmse_bound_per_segment(method, fam):
         assert rmse <= bound + 1e-9, (method.name, fam, s, e, rmse)
 
 
+@pytest.mark.parametrize(
+    "method", [Method.PiecewiseConstantHistogram, Method.PiecewiseLinearHistogram],
+    ids=lambda m: m.name,
+)
+def test_histogram_survives_squared_overflow(method):
+    """|v| > ~1e154 overflows v*v to inf and turns the PWLH merge costs
+    NaN; the batch rounds must hand off to the heap instead of spinning
+    (and PWCH must stay unaffected). Bucket-count invariant still
+    holds."""
+    rng = np.random.default_rng(1)
+    v = rng.normal(0, 1, 300) * 1e200
+    blob = compress(v, method, {"histogram_bins_number": 8})
+    out = decompress(blob)
+    assert out.size == v.size
+    rec = 16 if method == Method.PiecewiseConstantHistogram else 24
+    assert (len(blob) - 1) // rec <= 8
+
+
 @pytest.mark.parametrize("method", [Method.SlidingWindow, Method.BottomUp], ids=lambda m: m.name)
 def test_rmse_bound_survives_nan_prefix(method):
     """Regression: a NaN BEFORE a finite run used to contaminate the
