@@ -168,19 +168,44 @@ def compress_bottom_up(values: np.ndarray, config: dict | None = None) -> bytes:
         prv = [-1] + list(range(len(segs) - 1))
         alive = [True] * len(segs)
 
+        # heap keyed by MEAN SQUARED error (sse/n) instead of rmse:
+        # sqrt is monotone, so cheapest-first order is the same modulo
+        # sqrt-rounding ties (engine-defined tie order, as elsewhere),
+        # and the bound compares against bound^2 — one sqrt saved per
+        # cost evaluation, plus the sse chain inlined against local
+        # list refs (the eval runs ~2x per merge)
+        bound2 = bound * bound
+        cvl, cv2l, cvtl, ctl, ct2l, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl
+
         def merge_cost(i: int) -> float:
             j = nxt[i]
             if j < 0:
                 return np.inf
-            return ps.rmse(segs[i][0], segs[j][1])
+            s = segs[i][0]
+            e = segs[j][1]
+            if e <= s:
+                return 0.0
+            vs = vls[s]
+            m = (vls[e] - vs) / (e - s)
+            n1 = e - s + 1
+            Sv = cvl[e + 1] - cvl[s]
+            Sv2 = cv2l[e + 1] - cv2l[s]
+            Svt = cvtl[e + 1] - cvtl[s]
+            St = ctl[e + 1] - ctl[s]
+            St2 = ct2l[e + 1] - ct2l[s]
+            Syy = Sv2 - 2 * vs * Sv + n1 * vs * vs
+            Sxy = (Svt - s * Sv) - vs * (St - s * n1)
+            Sxx = St2 - 2 * s * St + n1 * s * s
+            sse = Syy - 2 * m * Sxy + m * m * Sxx
+            return sse / n1 if sse > 0 else 0.0
 
         heap = [(merge_cost(i), i, 0) for i in range(len(segs)) if nxt[i] >= 0]
         heapq.heapify(heap)
         version = [0] * len(segs)
         while heap:
             cost, i, ver = heapq.heappop(heap)
-            if not alive[i] or ver != version[i] or cost > bound:
-                if cost > bound and alive[i] and ver == version[i]:
+            if not alive[i] or ver != version[i] or cost > bound2:
+                if cost > bound2 and alive[i] and ver == version[i]:
                     break
                 continue
             j = nxt[i]
