@@ -619,22 +619,54 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
     return np.uint32(len(segs)).tobytes() + rec.tobytes()
 
 
+_REC = np.dtype([("fam", "u1"), ("end", "<u8"), ("p", "<f8", (3,))], align=False)
+
+
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
     n_seg = int(buf[:4].view(np.uint32)[0])
-    pos = 4
-    rec = 1 + 8 + 24
-    chunks = []
-    start = 0
-    for _ in range(n_seg):
-        fam = int(buf[pos])
-        end = check_decode_count(buf[pos + 1 : pos + 9].view(np.uint64)[0], "segment end")
-        params = tuple(buf[pos + 9 : pos + 33].view(np.float64))
-        pos += rec
-        x = np.arange(end - start, dtype=np.float64)
-        chunks.append(_eval(fam, params, x))
-        start = end
-    return np.concatenate(chunks) if chunks else np.empty(0)
+    if len(payload) < 4 + n_seg * _REC.itemsize:
+        raise ValueError("corrupt NeaTS payload: truncated")
+    segs = np.frombuffer(payload, dtype=_REC, count=n_seg, offset=4)
+    if n_seg == 0:
+        return np.empty(0)
+    # validate before casting: a corrupt u64 end would otherwise wrap
+    check_decode_count(segs["end"].max(), "segment end")
+    fams = segs["fam"]
+    if (fams >= _FAMILIES).any():
+        raise ValueError(f"unknown family {int(fams[fams >= _FAMILIES][0])}")
+    ends = segs["end"].astype(np.int64)
+    starts = np.concatenate(([0], ends[:-1]))
+    lens = np.maximum(ends - starts, 0)  # mirrors the scalar loop's
+    # empty-arange behavior on non-monotone (corrupt) ends
+    n = int(lens.sum())
+    seg_of = np.repeat(np.arange(n_seg), lens)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    x = (np.arange(n, dtype=np.int64) - offs).astype(np.float64)
+    p = segs["p"]
+    a = p[seg_of, 0]
+    b = p[seg_of, 1]
+    c = p[seg_of, 2]
+    fam_g = fams[seg_of]
+    out = np.empty(n, dtype=np.float64)
+    # vectorized per family — identical elementwise expressions to
+    # `_eval`, so results are bit-identical to the per-segment loop
+    for fam in range(_FAMILIES):
+        msel = fam_g == fam
+        if not msel.any():
+            continue
+        xa, aa, ba = x[msel], a[msel], b[msel]
+        if fam == 0:
+            out[msel] = aa + ba * xa
+        elif fam == 1:
+            out[msel] = aa + ba * xa + c[msel] * xa * xa
+        elif fam == 2:
+            out[msel] = aa * np.exp(ba * xa)
+        elif fam == 3:
+            out[msel] = aa + ba * np.sqrt(xa)
+        else:
+            out[msel] = aa * np.power(xa + 1, ba)
+    return out
 
 
 register(Method.NonLinearApproximation, compress, decompress)
