@@ -267,17 +267,6 @@ def _hull_width_line(ux, uy, lx, ly):
     return best_w, best_s, best_b
 
 
-def _push_hull(hx, hy, x, y, upper: bool) -> None:
-    while len(hx) >= 2:
-        cr = (hx[-1] - hx[-2]) * (y - hy[-1]) - (hy[-1] - hy[-2]) * (x - hx[-1])
-        if (cr >= 0) if upper else (cr <= 0):
-            hx.pop()
-            hy.pop()
-        else:
-            break
-    hx.append(x)
-    hy.append(y)
-
 
 def _width3(v: np.ndarray) -> np.ndarray:
     """Vectorized Chebyshev band width of every 3-point window, with the
@@ -285,7 +274,7 @@ def _width3(v: np.ndarray) -> np.ndarray:
     the 3-point hulls (same ops, same order), so ``_width3(v)[i]/2 > eps``
     reproduces the hull path's infeasibility decision bit-for-bit.
 
-    Case analysis mirrors `_push_hull`'s cross product ``cr = (y2-y1) -
+    Case analysis mirrors the monotone-chain push cross product ``cr = (y2-y1) -
     (y1-y0)``: cr<0 keeps the middle point on the upper hull (band edges
     to test: lower chord p0→p2 at sgn=+1, upper edges p0→p1/p1→p2 at
     sgn=-1); cr>0 mirrors; cr==0 collapses both hulls to [p0, p2] and the
@@ -318,53 +307,6 @@ def _width3(v: np.ndarray) -> np.ndarray:
         w_mid_dn = np.minimum(np.minimum(d01_pos, d12_pos), d_chord_neg)
         return np.where(cr < 0, w_mid_up, np.where(cr > 0, w_mid_dn, 0.0))
 
-
-def _envelope_len(vl: list, s: int, e: int, eps: float, v: np.ndarray) -> int:
-    """Length of the longest ANCHORED feasible prefix from s: a line
-    through (0, v[s]) staying within ±eps of v[s..s+L-1]. Any anchored
-    line is a candidate band center, so the Chebyshev width over that
-    prefix is <= 2*eps (up to float rounding, which the caller's
-    fallback handles) — a cheap lower bound that lets the hull path skip
-    every width evaluation below it. Scalar loop for the first ~24
-    points (numpy per-call overhead dominates there), then galloping
-    vectorized blocks."""
-    anchor_v = vl[s]
-    up = np.inf
-    lo = -np.inf
-    j = s + 1
-    stop_py = min(s + 25, e)
-    while j < stop_py:
-        dt = j - s
-        dy = vl[j] - anchor_v
-        nup = (dy + eps) / dt
-        nlo = (dy - eps) / dt
-        if nup < up:
-            up = nup
-        if nlo > lo:
-            lo = nlo
-        if lo > up:
-            return dt  # j is the first infeasible point -> prefix length
-        j += 1
-    if stop_py == e:
-        return e - s
-    block = 48
-    base = stop_py - s  # points already known feasible (incl. anchor)
-    while True:
-        hi = min(s + base + block, e)
-        x = v[s + base : hi]
-        dt = np.arange(base, base + x.size, dtype=np.float64)
-        dy = x - anchor_v
-        up_c = np.minimum(up, np.minimum.accumulate((dy + eps) / dt))
-        lo_c = np.maximum(lo, np.maximum.accumulate((dy - eps) / dt))
-        bad = np.flatnonzero(lo_c > up_c)
-        if bad.size:
-            return base + int(bad[0])
-        if hi == e:
-            return e - s
-        up = float(up_c[-1])
-        lo = float(lo_c[-1])
-        base += x.size
-        block *= 2
 
 
 def _extend_hulls(ux, uy, lx, ly, vl, s, k0, k1) -> None:
@@ -419,43 +361,6 @@ def _extend_hulls(ux, uy, lx, ly, vl, s, k0, k1) -> None:
         ln += 1
 
 
-def _push_undoable(ux, uy, lx, ly, x, y):
-    """Push ONE point onto both hulls, returning the popped tails so the
-    push can be reverted (used for the closing probe, where the fit must
-    come from the hull WITHOUT the violating point)."""
-    pu: list = []
-    pl: list = []
-    while len(ux) >= 2:
-        cr = (ux[-1] - ux[-2]) * (y - uy[-1]) - (uy[-1] - uy[-2]) * (x - ux[-1])
-        if cr >= 0:
-            pu.append((ux.pop(), uy.pop()))
-        else:
-            break
-    ux.append(x)
-    uy.append(y)
-    while len(lx) >= 2:
-        cr = (lx[-1] - lx[-2]) * (y - ly[-1]) - (ly[-1] - ly[-2]) * (x - lx[-1])
-        if cr <= 0:
-            pl.append((lx.pop(), ly.pop()))
-        else:
-            break
-    lx.append(x)
-    ly.append(y)
-    return pu, pl
-
-
-def _undo_push(ux, uy, lx, ly, undo) -> None:
-    pu, pl = undo
-    ux.pop()
-    uy.pop()
-    for px, py in reversed(pu):
-        ux.append(px)
-        uy.append(py)
-    lx.pop()
-    ly.pop()
-    for px, py in reversed(pl):
-        lx.append(px)
-        ly.append(py)
 
 
 def _caliper_width(ux, uy, lx, ly):
@@ -532,28 +437,23 @@ def _slide_segment(
     Returns (end_inclusive, slope, intercept) with intercept at local
     x=0 (i.e. at index s).
 
-    Search strategy (the engine analog of the reference's O(1)-amortized
-    hull-bound maintenance, swing_slide_filter.zig:266-490 +
-    convex_hull.zig — same output, batch-friendly shape; the 3-point
-    fast path for noisy data lives in compress_slide via `_width3`):
+    Search: OptimalPLR-style extreme-line maintenance — the engine
+    analog of the reference's Lemma-4.3 bound updates
+    (swing_slide_filter.zig:266-490: max-slope line through a left
+    support at value-eps and the newest point at value+eps, min-slope
+    line mirrored; supports live on the upper/lower hulls). Instead of
+    the reference's full hull rescan per point, each rotation walks a
+    tangent pointer along the hull (slope-to-the-new-cap is unimodal
+    along a convex chain), so accepted points cost ~8 flops + two hull
+    pushes, amortized O(1) walk steps. A point is feasible while its
+    caps straddle the two extreme lines — equivalent, in real
+    arithmetic, to Chebyshev width(prefix) <= 2*eps.
 
-    1. anchored-envelope lower bound (`_envelope_len`): grow the hulls to
-       that length with NO width evaluations (an anchored line within eps
-       is itself a band of width <= 2*eps).
-    2. midline forward scan: every further point within eps of the
-       current optimal band's MIDLINE proves feasibility of the extended
-       prefix (old points sit within w/2 <= eps of the midline, the new
-       point within eps), so whole stretches extend with 4 flops/point
-       and one O(h) calipers evaluation per stretch.
-    3. when the midline cannot advance, probe exactly one point with an
-       undoable hull push; on infeasibility the probe is reverted and the
-       segment closes. Worst case this degenerates to one O(h) caliper
-       evaluation per point — never worse than evaluating every prefix.
-
-    Widths are monotone in prefix length, so the feasibility decisions
-    identify max{L : width(L)/2 <= eps}; the returned fit is always the
-    full-scan `_hull_width_line` over the hull of that final prefix —
-    the same object the per-prefix reference evaluation produces."""
+    The emitted fit stays the full-scan `_hull_width_line` over the
+    final prefix's hull; its returned width certifies the bound, and on
+    a float-edge disagreement with the line-maintenance decisions
+    (rare) the boundary retreats via `_bisect_fit`, so every emitted
+    segment satisfies maxerr <= eps by construction."""
     n_max = e - s
     if n_max <= 2:
         end = e - 1
@@ -562,64 +462,96 @@ def _slide_segment(
     if vl is None:
         vl = v.tolist()  # plain floats: the hull loops are scalar-bound
 
-    L = _envelope_len(vl, s, e, eps, v)
-    ux: list = []
-    uy: list = []
-    lx: list = []
-    ly: list = []
-    _extend_hulls(ux, uy, lx, ly, vl, s, 0, L)
-    # for small prefixes the full scan costs the same as calipers — use
-    # it for the decision AND remember it, so a segment that closes here
-    # skips the close-time re-evaluation entirely
-    if L <= 8:
-        w, sl, md = _hull_width_line(ux, uy, lx, ly)
-        fit_at = L
-    else:
-        w, sl, md = _caliper_width(ux, uy, lx, ly)
-        fit_at = -1
-    if L > 2 and w / 2 > eps:
-        # float disagreement between the envelope and the Chebyshev
-        # width at the boundary (rare): bisect below the envelope length
-        return _bisect_fit(vl, s, 2, L, eps)
+    y0 = vl[s]
+    y1 = vl[s + 1]
+    d = y1 - y0
+    two_eps = eps + eps
+    ms_hi = d + two_eps  # max-slope line: (0, y0-eps) -> (1, y1+eps)
+    bi_hi = y0 - eps
+    ms_lo = d - two_eps  # min-slope line: (0, y0+eps) -> (1, y1-eps)
+    bi_lo = y0 + eps
+    ux = [0.0, 1.0]
+    uy = [y0, y1]
+    lx = [0.0, 1.0]
+    ly = [y0, y1]
+    phi = 0  # max-slope tangent pointer into the upper hull
+    plo = 0  # min-slope tangent pointer into the lower hull
+    L = 2
     while L < n_max:
-        # shift-window scan: the current band's line can slide
-        # vertically by any delta in [w/2 - eps, eps - w/2] and still
-        # cover every included point; each new point narrows the window
-        # by delta in [dev - eps, dev + eps]. While the window stays
-        # nonempty a width-2eps band exists, so the extended prefix is
-        # feasible with 6 flops/point and no width evaluation.
-        lo_s = w / 2 - eps
-        hi_s = eps - w / 2
-        L2 = L
-        while L2 < n_max:
-            dvv = vl[s + L2] - (sl * L2 + md)
-            if dvv - eps > lo_s:
-                lo_s = dvv - eps
-            if dvv + eps < hi_s:
-                hi_s = dvv + eps
-            if lo_s > hi_s:
-                break
-            L2 += 1
-        if L2 > L:
-            _extend_hulls(ux, uy, lx, ly, vl, s, L, L2)
-            w2, sl2, md2 = _caliper_width(ux, uy, lx, ly)
-            if w2 / 2 <= eps:
-                L, w, sl, md = L2, w2, sl2, md2
-                fit_at = -1
-                continue
-            return _bisect_fit(vl, s, L, L2, eps)  # float edge: rare
-        undo = _push_undoable(ux, uy, lx, ly, float(L), vl[s + L])
-        w2, sl2, md2 = _caliper_width(ux, uy, lx, ly)
-        if w2 / 2 <= eps:
-            L += 1
-            w, sl, md = w2, sl2, md2
-            fit_at = -1
-            continue
-        _undo_push(ux, uy, lx, ly, undo)
-        break
-    if fit_at == L:
-        return s + L - 1, sl, md
-    _w, fs, fb = _hull_width_line(ux, uy, lx, ly)
+        x = float(L)
+        y = vl[s + L]
+        hi_at = ms_hi * x + bi_hi
+        lo_at = ms_lo * x + bi_lo
+        if y - eps > hi_at or y + eps < lo_at:
+            break
+        if y + eps < hi_at:
+            # rotate the max-slope line down through (x, y+eps); its
+            # left support is the upper-hull vertex minimizing the
+            # slope to that cap (reference scans the whole upper hull;
+            # unimodality lets a pointer walk find the argmin)
+            py = y + eps
+            n_h = len(ux)
+            j = phi if phi < n_h else n_h - 1
+            sj = (py - uy[j] + eps) / (x - ux[j])
+            moved = False
+            while j + 1 < n_h:
+                s2 = (py - uy[j + 1] + eps) / (x - ux[j + 1])
+                if s2 <= sj:
+                    sj = s2
+                    j += 1
+                    moved = True
+                else:
+                    break
+            if not moved:
+                while j > 0:
+                    s2 = (py - uy[j - 1] + eps) / (x - ux[j - 1])
+                    if s2 < sj:
+                        sj = s2
+                        j -= 1
+                    else:
+                        break
+            phi = j
+            ms_hi = sj
+            bi_hi = py - sj * x
+        if y - eps > lo_at:
+            py = y - eps
+            n_h = len(lx)
+            j = plo if plo < n_h else n_h - 1
+            sj = (py - ly[j] - eps) / (x - lx[j])
+            moved = False
+            while j + 1 < n_h:
+                s2 = (py - ly[j + 1] - eps) / (x - lx[j + 1])
+                if s2 >= sj:
+                    sj = s2
+                    j += 1
+                    moved = True
+                else:
+                    break
+            if not moved:
+                while j > 0:
+                    s2 = (py - ly[j - 1] - eps) / (x - lx[j - 1])
+                    if s2 > sj:
+                        sj = s2
+                        j -= 1
+                    else:
+                        break
+            plo = j
+            ms_lo = sj
+            bi_lo = py - sj * x
+        while len(ux) >= 2 and (ux[-1] - ux[-2]) * (y - uy[-1]) - (uy[-1] - uy[-2]) * (x - ux[-1]) >= 0:
+            ux.pop()
+            uy.pop()
+        ux.append(x)
+        uy.append(y)
+        while len(lx) >= 2 and (lx[-1] - lx[-2]) * (y - ly[-1]) - (ly[-1] - ly[-2]) * (x - lx[-1]) <= 0:
+            lx.pop()
+            ly.pop()
+        lx.append(x)
+        ly.append(y)
+        L += 1
+    w, fs, fb = _hull_width_line(ux, uy, lx, ly)
+    if w / 2 > eps and L > 2:
+        return _bisect_fit(vl, s, 2, L, eps)  # float edge: rare
     return s + L - 1, fs, fb
 
 
