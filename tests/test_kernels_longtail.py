@@ -215,3 +215,37 @@ def test_every_method_code_implemented():
     from tersets_spark.kernels.registry import KERNELS
 
     assert {int(m) for m in KERNELS} == set(range(27))
+
+
+def test_slide_boundaries_match_exhaustive_caliper_growth():
+    """The PLR extreme-line search must close every segment exactly
+    where exhaustive per-prefix caliper growth closes it: each emitted
+    segment is feasible (width/2 <= eps) and maximal (one more point
+    pushes the width over). Pins the O(1)-amortized search to the
+    independent caliper implementation."""
+    import tersets_spark.kernels.swing_slide as ss
+
+    rng = np.random.default_rng(99)
+    eps = 1.5
+    shapes = [
+        1000 * np.sin(np.arange(800) * 0.01) + rng.normal(0, 1, 800),
+        rng.integers(1, 12, 800).astype(float),
+        np.repeat(rng.normal(0, 30, 100), 8) + rng.normal(0, 1, 800),
+        np.linspace(0, 100, 800) + rng.normal(0, 0.8, 800),
+        rng.normal(0, 25, 800),
+    ]
+    for v in shapes:
+        vl = v.tolist()
+        s = 0
+        n = v.size
+        while s < n - 2:
+            end, _fs, _fb = ss._slide_segment(v, s, n, eps, vl)
+            ux, uy, lx, ly = [], [], [], []
+            ss._extend_hulls(ux, uy, lx, ly, vl, s, 0, end - s + 1)
+            w = ss._caliper_width(ux, uy, lx, ly)[0]
+            assert w / 2 <= eps, (s, end, w)
+            if end + 1 < n:  # maximality
+                ss._extend_hulls(ux, uy, lx, ly, vl, s, end - s + 1, end - s + 2)
+                w2 = ss._caliper_width(ux, uy, lx, ly)[0]
+                assert w2 / 2 > eps, (s, end, w2)
+            s = end + 1
