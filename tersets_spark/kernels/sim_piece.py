@@ -55,10 +55,13 @@ def phase1_segments(v: np.ndarray, eps: float, quantize: str = "floor"):
     mix_piece.zig:597-808)."""
     eff = max(eps - ERROR_BOUND_MARGIN, 0.0)
 
+    vl = v.tolist()  # plain floats: the scalar scan below is
+    # indexing-bound, and list access is ~3x cheaper than numpy scalars
+
     def run_from(s: int, e: int, b: float):
         """Longest feasible segment from s with intercept b; returns
         (end_exclusive, intercept, lo, hi)."""
-        if not np.isfinite(b) or abs(float(v[s]) - b) > eps:
+        if not np.isfinite(b) or abs(vl[s] - b) > eps:
             # quantization out of bound (precision loss on huge values):
             # escape to an exact singleton
             return s + 1, float(v[s]), 0.0, 0.0
@@ -73,7 +76,7 @@ def phase1_segments(v: np.ndarray, eps: float, quantize: str = "floor"):
         stop_py = min(s + 1 + _PY_N, e)
         while j < stop_py:
             dt = j - s
-            dy = v[j] - b
+            dy = vl[j] - b
             nup = (dy + eff) / dt
             nlo = (dy - eff) / dt
             p_up, p_lo = up, lo
@@ -116,9 +119,12 @@ def phase1_segments(v: np.ndarray, eps: float, quantize: str = "floor"):
             continue
         s = rs
         while s < re:
-            b_floor = float(np.floor(v[s] / eps) * eps)
+            # np.floor, not math.floor: v/eps can overflow to inf at
+            # subnormal eps, which math.floor raises on while np.floor
+            # propagates into the singleton-escape path
+            b_floor = float(np.floor(vl[s] / eps) * eps)
             if quantize == "best":
-                b_ceil = float(np.ceil(v[s] / eps) * eps)
+                b_ceil = float(np.ceil(vl[s] / eps) * eps)
                 endf, bf, lof, hif = run_from(s, re, b_floor)
                 endc, bc, loc, hic = run_from(s, re, b_ceil)
                 if endc > endf:

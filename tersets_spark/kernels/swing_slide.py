@@ -41,7 +41,7 @@ def _effective_eps(eps: float) -> float:
     return max(eps - ERROR_BOUND_MARGIN, 0.0) if eps > 0 else 0.0
 
 
-def _swing_segment(v: np.ndarray, anchor_i: int, anchor_v: float, e: int, eps: float):
+def _swing_segment(v: np.ndarray, anchor_i: int, anchor_v: float, e: int, eps: float, vl: list | None = None):
     """Longest feasible swing segment from the anchor: returns
     (end_index_inclusive, slope). Bounds: slope must stay within
     [max lower, min upper] over every covered point.
@@ -54,6 +54,8 @@ def _swing_segment(v: np.ndarray, anchor_i: int, anchor_v: float, e: int, eps: f
     scan first: for tiny segments interpreter arithmetic beats numpy's
     per-call overhead ~3x."""
     _PY_N = 24
+    if vl is None:
+        vl = v.tolist()
     up = np.inf
     lo = -np.inf
     sxy = sxx = 0.0
@@ -61,7 +63,7 @@ def _swing_segment(v: np.ndarray, anchor_i: int, anchor_v: float, e: int, eps: f
     stop_py = min(anchor_i + 1 + _PY_N, e)
     while j < stop_py:
         dt = j - anchor_i
-        dy = v[j] - anchor_v
+        dy = vl[j] - anchor_v
         nup = (dy + eps) / dt
         nlo = (dy - eps) / dt
         p_up, p_lo, p_sxy, p_sxx = up, lo, sxy, sxx
@@ -115,14 +117,15 @@ def compress_swing(values: np.ndarray, config: dict | None = None) -> bytes:
         knots_v.append(float(val))
         knots_i.append(int(idx))
 
+    vl = v.tolist()  # once per series; the scalar scan is indexing-bound
     for s, e, is_finite in finite_runs(v):
         if not is_finite:
             emit(v[s], s)
             continue
-        anchor_i, anchor_v = s, float(v[s])
+        anchor_i, anchor_v = s, vl[s]
         emit(anchor_v, s)  # run-opening knot is exact
         while anchor_i < e - 1:
-            end, slope = _swing_segment(v, anchor_i, anchor_v, e, eps)
+            end, slope = _swing_segment(v, anchor_i, anchor_v, e, eps, vl)
             end_v = anchor_v + slope * (end - anchor_i)
             emit(end_v, end)
             anchor_i, anchor_v = end, end_v
@@ -222,6 +225,7 @@ def compress_swing_disconnected(values: np.ndarray, config: dict | None = None) 
     v = np.ascontiguousarray(values, dtype=np.float64)
     eps = _effective_eps(float((config or {}).get("abs_error_bound", 0.0)))
     triples: list[tuple[float, float, int]] = []
+    vl = v.tolist()  # once per series; the scalar scan is indexing-bound
     for s, e, is_finite in finite_runs(v):
         if not is_finite:
             triples.append((float(v[s]), float(v[s]), s))
@@ -229,10 +233,10 @@ def compress_swing_disconnected(values: np.ndarray, config: dict | None = None) 
         start = s
         while start < e:
             if start == e - 1:
-                triples.append((float(v[start]), float(v[start]), start))
+                triples.append((vl[start], vl[start], start))
                 break
-            anchor_v = float(v[start])
-            end, slope = _swing_segment(v, start, anchor_v, e, eps)
+            anchor_v = vl[start]
+            end, slope = _swing_segment(v, start, anchor_v, e, eps, vl)
             triples.append((anchor_v, anchor_v + slope * (end - start), end))
             start = end + 1
     return _pack_triples(triples)
