@@ -73,10 +73,11 @@ def _max_feasible_window(x: np.ndarray, bound: float) -> np.ndarray:
     return idx + lo  # exclusive end per start
 
 
-def _segments_midrange(v: np.ndarray, s: int, e: int, eps: float):
-    """Greedy midrange runs over finite v[s:e]; yields (value, end_excl).
-    Window ends are precomputed vectorized; the chain walk is plain int
-    indexing; segment midranges come from two reduceat passes."""
+def _segments_midrange(v: np.ndarray, s: int, e: int, eps: float, vl: list | None = None):
+    """Greedy midrange runs over finite v[s:e]; returns parallel lists
+    (values, ends_exclusive). Window ends are precomputed vectorized;
+    the chain walk is plain int indexing; segment midranges come from
+    two reduceat passes."""
     x = v[s:e]
     n = x.size
     ends_all = _max_feasible_window(x, 2 * eps).tolist()
@@ -89,24 +90,29 @@ def _segments_midrange(v: np.ndarray, s: int, e: int, eps: float):
     vmax = np.maximum.reduceat(x, st)
     vmin = np.minimum.reduceat(x, st)
     seg_ends = np.append(st[1:], n) + s
-    for val, stop in zip(((vmax + vmin) / 2).tolist(), seg_ends.tolist()):
-        yield val, stop
+    # list-pair return (not a generator): ~1.3x — segments are short on
+    # noisy data, so per-yield resume overhead dominates otherwise
+    return ((vmax + vmin) / 2).tolist(), seg_ends.tolist()
 
 
-def _segments_mean(v: np.ndarray, s: int, e: int, eps: float):
-    """Greedy mean runs. Short segments (the common case) scan in plain
-    Python — scalar arithmetic beats numpy per-call overhead ~5x there;
-    long runs fall back to the vectorized gallop."""
+def _segments_mean(v: np.ndarray, s: int, e: int, eps: float, vl: list | None = None):
+    """Greedy mean runs, returned as parallel lists (values,
+    ends_exclusive). Short segments (the common case) scan in plain
+    Python over a list snapshot — scalar arithmetic and list indexing
+    beat numpy per-call overhead ~5x there; long runs fall back to the
+    vectorized gallop."""
     _PY_N = 32
-    vl = v  # local alias
+    if vl is None:
+        vl = v.tolist()
+    out_v: list[float] = []
+    out_e: list[int] = []
     while s < e:
-        vmax = vmin = float(vl[s])
-        vsum = float(vl[s])
+        vmax = vmin = vsum = vl[s]
         j = s + 1
         stop_py = min(s + _PY_N, e)
         stop = -1
         while j < stop_py:
-            x = float(vl[j])
+            x = vl[j]
             nmax = x if x > vmax else vmax
             nmin = x if x < vmin else vmin
             nsum = vsum + x
@@ -121,7 +127,7 @@ def _segments_mean(v: np.ndarray, s: int, e: int, eps: float):
                 stop = e
         if stop < 0:  # undecided within the Python window: numpy gallop
             def scan(hi: int, s=s) -> int:
-                x = vl[s:hi]
+                x = v[s:hi]
                 cmax = np.maximum.accumulate(x)
                 cmin = np.minimum.accumulate(x)
                 cmean = np.cumsum(x) / np.arange(1, x.size + 1)
@@ -130,11 +136,14 @@ def _segments_mean(v: np.ndarray, s: int, e: int, eps: float):
                 return s + int(idx[0]) if idx.size else -1
 
             stop = max(first_violation(e, s, scan), s + 1)
-            yield float(vl[s:stop].mean()), stop
+            out_v.append(float(v[s:stop].mean()))
+            out_e.append(stop)
         else:
             stop = max(stop, s + 1)
-            yield vsum / (stop - s), stop
+            out_v.append(vsum / (stop - s))
+            out_e.append(stop)
         s = stop
+    return out_v, out_e
 
 
 def _compress(v: np.ndarray, eps: float, segfn) -> bytes:
@@ -142,6 +151,7 @@ def _compress(v: np.ndarray, eps: float, segfn) -> bytes:
         raise ValueError("abs_error_bound must be a finite value >= 0")
     values: list[float] = []
     ends: list[int] = []
+    vl: list | None = None
     for s, e, is_finite in finite_runs(v):
         if not is_finite:
             values.append(float(v[s]))
@@ -157,9 +167,11 @@ def _compress(v: np.ndarray, eps: float, segfn) -> bytes:
             values.extend(x[starts].tolist())
             ends.extend((stops + s).tolist())
             continue
-        for val, stop in segfn(v, s, e, eps):
-            values.append(val)
-            ends.append(stop)
+        if vl is None and segfn is _segments_mean:
+            vl = v.tolist()  # once per series, shared across runs
+        seg_v, seg_e = segfn(v, s, e, eps, vl)
+        values.extend(seg_v)
+        ends.extend(seg_e)
     out = np.empty(2 * len(values), dtype=np.uint64)
     out[0::2] = np.asarray(values, dtype=np.float64).view(np.uint64)
     out[1::2] = np.asarray(ends, dtype=np.uint64)
