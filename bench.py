@@ -22,6 +22,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _wait_for_calm_host(max_wait_s: int) -> float:
+    """CPU-credit throttle guard (CLAUDE.md): this sandbox's hypervisor
+    slows sustained many-core load up to 8x for minutes at a time, and
+    the budget refills while idle — measured on 2026-08-16: the same
+    flagship job took 21-23 s inside a throttle window and 4.5 s after
+    six idle minutes. A single-core probe (np.sort of 1e6 float64,
+    best of 3: ~15-25 ms calm on this host, 60-300 ms throttled) gates
+    the timed region; while it reads throttled, sleep in bounded steps
+    so the artifact records the ENGINE's speed, not the hypervisor's
+    credit state. Returns the final probe seconds (recorded in the
+    output's detail for transparency)."""
+    import numpy as np
+
+    x = np.random.default_rng(0).normal(0, 1, 1_000_000)
+    waited = 0
+    while True:
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.sort(x.copy())
+            best = min(best, time.perf_counter() - t0)
+        if best < 0.040 or waited >= max_wait_s:
+            return best
+        time.sleep(90)
+        waited += 90
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -75,6 +102,7 @@ def main() -> None:
         return wall, agg, n_roll
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    probe_s = _wait_for_calm_host(int(os.environ.get("SPARK_GRAFT_CALM_WAIT", "360")))
     runs = [run_flagship() for _ in range(repeats)]
     flagship_sec, agg, n_roll = min(runs, key=lambda r: r[0])
     toks.unpersist()  # executor storage back to the secondary queries
@@ -98,6 +126,7 @@ def main() -> None:
                 "compress_ratio": round(float(agg["rb"]) / float(agg["cb"]), 3),
                 "rollup_rows": int(n_roll),
                 "cpus": cpus,
+                "calm_probe_ms": round(probe_s * 1000, 1),
             },
         }
         spark.stop()
@@ -132,6 +161,7 @@ def main() -> None:
         sp, d, n_hashes=16, bands=4
     )
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    _wait_for_calm_host(120)  # the flagship repeats burn credits too
     for _ in range(passes):
         for name, fn in secondary.items():
             t0 = time.time()
@@ -156,6 +186,7 @@ def main() -> None:
             "compress_ratio": round(float(agg["rb"]) / float(agg["cb"]), 3),
             "rollup_rows": int(n_roll),
             "cpus": cpus,
+            "calm_probe_ms": round(probe_s * 1000, 1),
         },
     }
     spark.stop()
