@@ -1412,6 +1412,48 @@ _MEDIA_FEATURES_ORACLE = """
 """
 
 
+def _media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize gate: box-average downsample (factor 2) every
+    image/video payload of the deterministic real-media table and gate
+    on (a) every row resized without error, (b) output dims exactly
+    halved, (c) the frame-set mean preserved through the box average
+    (exact up to float64 rounding — the defining property of an
+    area-average resize). DuckDB can't decode media, so the oracle pins
+    the deterministic per-kind counts and expects the gates to hold."""
+    _prep(spark)
+    from tersets_spark.operators.multimodal import resize_media, synth_real_media
+
+    media = synth_real_media(spark, 64).filter(F.col("kind").isin("image", "video"))
+    rs = resize_media(media, factor=2, on_error="null")
+    per = rs.select(
+        "kind",
+        (F.col("err").isNull() & F.col("payload").isNotNull()).alias("ok"),
+        ((F.col("out_w") * 2 == F.col("in_w")) & (F.col("out_h") * 2 == F.col("in_h"))).alias("halved"),
+        F.when(
+            F.col("mean_in").isNotNull(),
+            F.abs(F.col("mean_in") - F.col("mean_out")) < 1e-6,
+        ).otherwise(F.lit(False)).alias("mean_ok"),
+    )
+    return (
+        per.groupBy("kind")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            (F.min(F.col("ok").cast("int")) == 1).alias("all_resized"),
+            (F.min(F.col("halved").cast("int")) == 1).alias("all_dims_halved"),
+            (F.min(F.col("mean_ok").cast("int")) == 1).alias("all_mean_preserved"),
+        )
+        .orderBy("kind")
+    )
+
+
+_MEDIA_RESIZE_ORACLE = """
+    SELECT * FROM (VALUES
+        ('image', CAST(32 AS BIGINT), true, true, true),
+        ('video', CAST(16 AS BIGINT), true, true, true)
+    ) AS t(kind, n_media, all_resized, all_dims_halved, all_mean_preserved)
+"""
+
+
 # ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1483,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_recall": _ivf_recall_query,
         "lineage_status": _lineage_status_query,
         "media_features_real": _media_features_query,
+        "media_resize_real": _media_resize_query,
         "embedding_near_dups": _embedding_neardup_query,
         "stream_compact_parity": _stream_compact_query,
         # lossy-catalog error-bound gates over char-token series
@@ -1602,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         "lineage_status": _LINEAGE_STATUS_ORACLE,
         "compression_summary": _COMPRESSION_SUMMARY_ORACLE,
         "media_features_real": _MEDIA_FEATURES_ORACLE,
+        "media_resize_real": _MEDIA_RESIZE_ORACLE,
         "embedding_near_dups": _embedding_neardup_oracle(),
         "stream_compact_parity": _STREAM_COMPACT_ORACLE,
         # lsh_ann_topk / ivf_ann_topk: approximate-by-design -> rows-only

@@ -264,3 +264,28 @@ def real_features(payload: bytes, dim: int = 64) -> np.ndarray:
     if payload[:2] == b"BM":
         return image_features(decode_bmp(payload), dim)
     raise ValueError("unrecognized media container (want RIFF/P6/BM)")
+
+
+def decode_frames(payload: bytes) -> list[np.ndarray]:
+    """Sniff the container and return the list of RGB frames (uint8
+    HxWx3): PPM single frame or concatenated stream, BMP single frame.
+    Audio containers raise — frame ops do not apply to them."""
+    if payload[:2] == b"P6":
+        return decode_ppm_stream(payload)
+    if payload[:2] == b"BM":
+        return [decode_bmp(payload)]
+    if payload[:4] == b"RIFF":
+        raise ValueError("audio container has no frames to resize")
+    raise ValueError("unrecognized media container (want P6/BM)")
+
+
+def box_resize(img: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor box-average downsample of an RGB frame, returned
+    as float64 (h/f, w/f, 3). The mean over all blocks of the result
+    equals the mean of the input up to float64 summation rounding —
+    the invariant the resize driver gate checks. Dims must divide."""
+    h, w = img.shape[0], img.shape[1]
+    if factor <= 0 or h % factor or w % factor:
+        raise ValueError(f"dims {w}x{h} not divisible by factor {factor}")
+    a = img.astype(np.float64).reshape(h // factor, factor, w // factor, factor, 3)
+    return a.mean(axis=(1, 3))

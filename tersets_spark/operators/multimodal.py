@@ -198,3 +198,67 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "width", "height")
     )
+
+
+def resize_media(
+    media: DataFrame,
+    factor: int = 2,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Box-average downsample every frame of image/video payloads by an
+    integer ``factor`` (the resize verb of the multimodal pipeline):
+    decode with the pure-numpy codecs, average factor x factor blocks,
+    re-encode as (concatenated) PPM. Emits per-row input/output dims
+    and the frame-set means before/after — box averaging preserves the
+    global mean up to float64 rounding, which the driver gate checks.
+    Audio rows and non-divisible dims error per row (``on_error='null'``
+    isolates them into an ``err`` column like `extract_features`)."""
+    if factor <= 0:
+        raise ValueError("factor must be a positive integer")
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    null_mode = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media_codecs import box_resize, decode_frames, encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(p or b"")
+                try:
+                    frames = decode_frames(raw)
+                    resized = [box_resize(f, factor) for f in frames]
+                    payload_out = b"".join(
+                        encode_ppm(np.clip(np.rint(r), 0, 255).astype(np.uint8))
+                        for r in resized
+                    )
+                    mean_in = float(
+                        np.mean([f.astype(np.float64).mean() for f in frames])
+                    )
+                    mean_out = float(np.mean([r.mean() for r in resized]))
+                    h, w = frames[0].shape[0], frames[0].shape[1]
+                    rows.append(
+                        (mid, kind, len(frames), w, h, w // factor, h // factor,
+                         payload_out, mean_in, mean_out, None)
+                    )
+                except ValueError as ex:
+                    if not null_mode:
+                        raise
+                    rows.append((mid, kind, 0, 0, 0, 0, 0, None, None, None, str(ex)))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_frames", "in_w", "in_h",
+                         "out_w", "out_h", "payload", "mean_in", "mean_out", "err"],
+            )
+            if not null_mode:
+                out = out.drop(columns=["err"])
+            yield out
+
+    schema = (
+        "media_id string, kind string, n_frames int, in_w int, in_h int, "
+        "out_w int, out_h int, payload binary, mean_in double, mean_out double"
+    )
+    if null_mode:
+        schema += ", err string"
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema=schema)

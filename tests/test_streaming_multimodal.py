@@ -90,3 +90,51 @@ def test_frame_sample_plan(spark):
     assert {r.media_id for r in rows} == set(vids)
     for r in rows:
         assert r.n == max(vids[r.media_id] - 1, 0) // 5000 + 1
+
+
+def test_resize_media_real_end_to_end(spark):
+    """Box-average resize over real payloads: dims halve, the frame-set
+    mean survives the box average (float64 rounding only), the output
+    payload is a decodable PPM stream with the resized dims, and audio
+    rows isolate into err under on_error='null'."""
+    from tersets_spark.functions.media_codecs import decode_frames
+    from tersets_spark.operators.multimodal import resize_media, synth_real_media
+
+    media = synth_real_media(spark, 16)
+    rows = resize_media(media, factor=2, on_error="null").collect()
+    assert len(rows) == 16
+    for r in rows:
+        if r.kind == "audio":
+            assert r.err is not None and r.payload is None
+            continue
+        assert r.err is None, r.err
+        assert r.out_w * 2 == r.in_w and r.out_h * 2 == r.in_h
+        assert abs(r.mean_in - r.mean_out) < 1e-6
+        frames = decode_frames(bytes(r.payload))
+        assert len(frames) == r.n_frames
+        assert frames[0].shape[:2] == (r.out_h, r.out_w)
+
+
+def test_resize_media_error_paths(spark):
+    from pyspark.sql import functions as SF
+
+    from tersets_spark.operators.multimodal import resize_media, synth_real_media
+
+    media = synth_real_media(spark, 4)
+    # factor that does not divide the 16x16 BMP image -> per-row err
+    rows = resize_media(
+        media.filter(SF.col("kind") == "image"), factor=5, on_error="null"
+    ).collect()
+    # neither 24x32 nor 16x16 divides by 5 -> every image row errors
+    assert rows and all(r.err is not None and "divisible" in r.err for r in rows)
+    # raise mode propagates (audio has no frames)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_media(
+            media.filter(SF.col("kind") == "audio"), factor=2, on_error="raise"
+        ).collect()
+    with _pytest.raises(ValueError):
+        resize_media(media, factor=0)
+    with _pytest.raises(ValueError):
+        resize_media(media, factor=2, on_error="bogus")
