@@ -142,6 +142,39 @@ def test_histogram_survives_squared_overflow(method):
     assert (len(blob) - 1) // rec <= 8
 
 
+@pytest.mark.parametrize(
+    "method", [Method.PiecewiseConstantHistogram, Method.PiecewiseLinearHistogram],
+    ids=lambda m: m.name,
+)
+def test_histogram_monotone_ramp_takes_heap_fallback(method):
+    """An exponential series makes every merge round produce O(1) local
+    minima (costs increase monotonically along the chain), which stalls
+    the batch rounds into the heap fallback — exercise that path in CI
+    and check the K-bucket + invariant contract on its output."""
+    from tersets_spark.kernels import histogram as H
+    from tersets_spark.operators import invariants as inv
+
+    calls = {"fallback": 0}
+    orig = H._min_merge
+
+    def counting(*a, **kw):
+        calls["fallback"] += 1
+        return orig(*a, **kw)
+
+    H._min_merge = counting
+    try:
+        v = np.exp(np.linspace(0, 40, 1024))
+        k = 8
+        blob = compress(v, method, {"histogram_bins_number": k})
+    finally:
+        H._min_merge = orig
+    assert calls["fallback"] == 1, "expected the stalled batch to hand off to the heap"
+    out = decompress(blob)
+    cfg = {"histogram_bins_number": k}
+    check = inv.check_pwch if method == Method.PiecewiseConstantHistogram else inv.check_pwlh
+    assert check(v, blob[:-1] + bytes([blob[-1]]), out, cfg)
+
+
 @pytest.mark.parametrize("method", [Method.SlidingWindow, Method.BottomUp], ids=lambda m: m.name)
 def test_rmse_bound_survives_nan_prefix(method):
     """Regression: a NaN BEFORE a finite run used to contaminate the
