@@ -1454,6 +1454,45 @@ _MEDIA_RESIZE_ORACLE = """
 """
 
 
+def _media_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analog of the resize gate: box-average decimate (factor 4)
+    every WAV payload of the deterministic real-media table and gate on
+    per-row success, exact 4x sample-count division, and normalized-mean
+    preservation through the window average. The oracle pins the
+    deterministic count (16 audio rows of 64) and expects the gates."""
+    _prep(spark)
+    from tersets_spark.operators.multimodal import resample_audio, synth_real_media
+
+    media = synth_real_media(spark, 64).filter(F.col("kind") == "audio")
+    rs = resample_audio(media, factor=4, on_error="null")
+    per = rs.select(
+        "kind",
+        (F.col("err").isNull() & F.col("payload").isNotNull()).alias("ok"),
+        (F.col("n_out") * 4 == F.col("n_in")).alias("quartered"),
+        F.when(
+            F.col("mean_in").isNotNull(),
+            F.abs(F.col("mean_in") - F.col("mean_out")) < 1e-9,
+        ).otherwise(F.lit(False)).alias("mean_ok"),
+    )
+    return (
+        per.groupBy("kind")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            (F.min(F.col("ok").cast("int")) == 1).alias("all_resampled"),
+            (F.min(F.col("quartered").cast("int")) == 1).alias("all_quartered"),
+            (F.min(F.col("mean_ok").cast("int")) == 1).alias("all_mean_preserved"),
+        )
+        .orderBy("kind")
+    )
+
+
+_MEDIA_RESAMPLE_ORACLE = """
+    SELECT * FROM (VALUES
+        ('audio', CAST(16 AS BIGINT), true, true, true)
+    ) AS t(kind, n_media, all_resampled, all_quartered, all_mean_preserved)
+"""
+
+
 # ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1526,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_status": _lineage_status_query,
         "media_features_real": _media_features_query,
         "media_resize_real": _media_resize_query,
+        "media_resample_real": _media_resample_query,
         "embedding_near_dups": _embedding_neardup_query,
         "stream_compact_parity": _stream_compact_query,
         # lossy-catalog error-bound gates over char-token series
@@ -1646,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_summary": _COMPRESSION_SUMMARY_ORACLE,
         "media_features_real": _MEDIA_FEATURES_ORACLE,
         "media_resize_real": _MEDIA_RESIZE_ORACLE,
+        "media_resample_real": _MEDIA_RESAMPLE_ORACLE,
         "embedding_near_dups": _embedding_neardup_oracle(),
         "stream_compact_parity": _STREAM_COMPACT_ORACLE,
         # lsh_ann_topk / ivf_ann_topk: approximate-by-design -> rows-only

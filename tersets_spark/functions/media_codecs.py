@@ -289,3 +289,17 @@ def box_resize(img: np.ndarray, factor: int) -> np.ndarray:
         raise ValueError(f"dims {w}x{h} not divisible by factor {factor}")
     a = img.astype(np.float64).reshape(h // factor, factor, w // factor, factor, 3)
     return a.mean(axis=(1, 3))
+
+
+def box_resample(samples: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor box-average decimation of (n, ch) audio samples,
+    returned float64 (n/f, ch). Mean over windows preserves the global
+    mean up to float64 summation rounding — the resample driver gate's
+    invariant. Sample count must divide."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n = s.shape[0]
+    if factor <= 0 or n % factor:
+        raise ValueError(f"{n} samples not divisible by factor {factor}")
+    return s.reshape(n // factor, factor, s.shape[1]).mean(axis=1)

@@ -262,3 +262,60 @@ def resize_media(
     if null_mode:
         schema += ", err string"
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema=schema)
+
+
+def resample_audio(
+    media: DataFrame,
+    factor: int = 4,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Box-average decimate audio payloads by an integer ``factor`` (the
+    audio analog of `resize_media`): decode WAV with the pure-numpy
+    codec, average factor-sample windows, re-encode PCM16 at the
+    divided rate. Emits sample counts/rates and the normalized means
+    before/after (box averaging preserves the mean up to float64
+    rounding — the driver gate's invariant). Non-audio rows and
+    non-divisible lengths error per row (``on_error='null'`` isolates
+    them into ``err``)."""
+    if factor <= 0:
+        raise ValueError("factor must be a positive integer")
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    null_mode = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media_codecs import box_resample, decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(p or b"")
+                try:
+                    samples, sr = decode_wav(raw)
+                    out = box_resample(samples, factor)
+                    payload_out = encode_wav(out * 32767.0, max(sr // factor, 1))
+                    rows.append(
+                        (mid, kind, int(samples.shape[0]), int(out.shape[0]),
+                         int(sr), max(sr // factor, 1), payload_out,
+                         float(samples.mean()), float(out.mean()), None)
+                    )
+                except ValueError as ex:
+                    if not null_mode:
+                        raise
+                    rows.append((mid, kind, 0, 0, 0, 0, None, None, None, str(ex)))
+            out_pdf = pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_in", "n_out", "in_rate",
+                         "out_rate", "payload", "mean_in", "mean_out", "err"],
+            )
+            if not null_mode:
+                out_pdf = out_pdf.drop(columns=["err"])
+            yield out_pdf
+
+    schema = (
+        "media_id string, kind string, n_in int, n_out int, in_rate int, "
+        "out_rate int, payload binary, mean_in double, mean_out double"
+    )
+    if null_mode:
+        schema += ", err string"
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema=schema)

@@ -138,3 +138,35 @@ def test_resize_media_error_paths(spark):
         resize_media(media, factor=0)
     with _pytest.raises(ValueError):
         resize_media(media, factor=2, on_error="bogus")
+
+
+def test_resample_audio_real_end_to_end(spark):
+    """Box-average audio decimation over real WAV payloads: sample
+    counts divide exactly, the normalized mean survives the window
+    average, the output payload decodes at the divided rate, and
+    image/video rows isolate into err under on_error='null'."""
+    from pyspark.sql import functions as SF
+
+    from tersets_spark.functions.media_codecs import decode_wav
+    from tersets_spark.operators.multimodal import resample_audio, synth_real_media
+
+    media = synth_real_media(spark, 16)
+    rows = resample_audio(media, factor=4, on_error="null").collect()
+    assert len(rows) == 16
+    for r in rows:
+        if r.kind != "audio":
+            assert r.err is not None and r.payload is None
+            continue
+        assert r.err is None, r.err
+        assert r.n_out * 4 == r.n_in and r.out_rate * 4 == r.in_rate
+        assert abs(r.mean_in - r.mean_out) < 1e-9
+        samples, sr = decode_wav(bytes(r.payload))
+        assert samples.shape[0] == r.n_out and sr == r.out_rate
+    # non-divisible factor -> per-row err (800 samples, factor 7)
+    audio = media.filter(SF.col("kind") == "audio")
+    bad = resample_audio(audio, factor=7, on_error="null").collect()
+    assert bad and all(b.err is not None and "divisible" in b.err for b in bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_audio(audio, factor=0)
