@@ -149,29 +149,40 @@ def merge_slope_intervals(segs: list[tuple]) -> tuple[np.ndarray, np.ndarray, np
     intercepts = np.array([s[2] for s in segs], dtype=np.float64)
     los = np.array([s[3] for s in segs], dtype=np.float64)
     his = np.array([s[4] for s in segs], dtype=np.float64)
-    slopes = np.empty(len(segs), dtype=np.float64)
     # group on exact f64 bit patterns (reference uses a bitcast-keyed
     # hashmap, shared_structs.zig:77-91)
     keys = intercepts.view(np.uint64)
     order = np.lexsort((los, keys))
     k_sorted = keys[order]
     group_breaks = np.flatnonzero(k_sorted[1:] != k_sorted[:-1]) + 1
-    bounds = np.concatenate(([0], group_breaks, [len(segs)]))
-    for gi in range(bounds.size - 1):
-        idx = order[bounds[gi] : bounds[gi + 1]]
-        cur_lo, cur_hi = -np.inf, np.inf
+    bounds = np.concatenate(([0], group_breaks, [len(segs)])).tolist()
+    # plain-Python loop state: the greedy intersect walks every segment
+    # once and list indexing is ~5x cheaper than numpy scalars here
+    los_l = los.tolist()
+    his_l = his.tolist()
+    order_l = order.tolist()
+    inf = float("inf")
+    slopes_out = [0.0] * len(segs)
+    for gi in range(len(bounds) - 1):
+        idx = order_l[bounds[gi] : bounds[gi + 1]]
+        cur_lo, cur_hi = -inf, inf
         members: list[int] = []
         for si in idx:
-            lo, hi = los[si], his[si]
+            lo = los_l[si]
+            hi = his_l[si]
             if max(cur_lo, lo) <= min(cur_hi, hi) and members or not members:
                 cur_lo, cur_hi = max(cur_lo, lo), min(cur_hi, hi)
                 members.append(si)
             else:
                 shared = (cur_lo + cur_hi) / 2
-                slopes[members] = shared
+                for m in members:
+                    slopes_out[m] = shared
                 cur_lo, cur_hi, members = lo, hi, [si]
         if members:
-            slopes[members] = (cur_lo + cur_hi) / 2
+            shared = (cur_lo + cur_hi) / 2
+            for m in members:
+                slopes_out[m] = shared
+    slopes = np.asarray(slopes_out, dtype=np.float64)
     srt = np.argsort(starts, kind="stable")
     return starts[srt], intercepts[srt], slopes[srt]
 
