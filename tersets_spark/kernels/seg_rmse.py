@@ -97,24 +97,46 @@ def compress_sliding_window(values: np.ndarray, config: dict | None = None) -> b
     triples: list[tuple[float, float, int]] = []
     ps = None
     near = 48  # scalar near-field: on noisy data the first violation is
-    # a couple of points out, and per-candidate plain-float sse (~0.7 µs)
+    # a couple of points out, and the inlined plain-float sse below
     # beats the vectorized block's numpy setup (~25 µs) until this depth
+    bound2 = bound * bound  # rmse > bound <=> sse/n > bound^2 (sqrt is
+    # monotone; the boundary shifts at most one ulp where bound^2
+    # rounds, an engine-defined tie well inside the invariant tolerance)
     for rs, re, is_finite in finite_runs(v):
         if not is_finite:
             triples.append((float(v[rs]), float(v[rs]), rs))
             continue
         if ps is None:  # prefix sums are global; built once, runs slice
             ps = _PrefixSums(v)
+            cvl, cv2l, cvtl, ctl, ct2l, vls = (
+                ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl,
+            )
         s = rs
         while s < re:
             def scan(hi: int, s=s) -> int:
-                import math
-
                 lo = s + 1
                 mend = min(hi, lo + near)
+                vs = vls[s]
+                cvs = cvl[s]
+                cv2s = cv2l[s]
+                cvts = cvtl[s]
+                cts = ctl[s]
+                ct2s = ct2l[s]
                 for e in range(lo, mend):
+                    # inlined _PrefixSums.sse (the per-candidate call
+                    # chain was the hot path): same expressions
+                    m = (vls[e] - vs) / (e - s)
                     n1 = e - s + 1
-                    if math.sqrt(ps.sse(s, e) / n1) > bound:
+                    Sv = cvl[e + 1] - cvs
+                    Sv2 = cv2l[e + 1] - cv2s
+                    Svt = cvtl[e + 1] - cvts
+                    St = ctl[e + 1] - cts
+                    St2 = ct2l[e + 1] - ct2s
+                    Syy = Sv2 - 2 * vs * Sv + n1 * vs * vs
+                    Sxy = (Svt - s * Sv) - vs * (St - s * n1)
+                    Sxx = St2 - 2 * s * St + n1 * s * s
+                    sse = Syy - 2 * m * Sxy + m * m * Sxx
+                    if sse > bound2 * n1:
                         return e
                 if hi <= mend:
                     return -1
