@@ -250,6 +250,41 @@ def test_every_method_code_implemented():
     assert {int(m) for m in KERNELS} == set(range(27))
 
 
+def test_slide_random_sweep_feasible_and_maximal():
+    """Seeded random sweep over mixed shapes: every segment the PLR
+    search emits is caliper-feasible AND maximal, and the emitted fit
+    itself stays within eps — a durability net for the extreme-line
+    search beyond the five deterministic shapes."""
+    import tersets_spark.kernels.swing_slide as ss
+
+    for seed in range(24):
+        rng = np.random.default_rng(5000 + seed)
+        kind = seed % 4
+        n = int(rng.integers(60, 300))
+        if kind == 0:
+            v = rng.normal(0, 20, n)
+        elif kind == 1:
+            v = np.cumsum(rng.normal(0, 2, n))
+        elif kind == 2:
+            v = rng.integers(0, 30, n).astype(float)
+        else:
+            v = np.repeat(rng.normal(0, 50, max(n // 6, 1)), 7)[:n] + rng.normal(0, 0.5, n)
+        eps = float(rng.uniform(0.1, 4))
+        vl = v.tolist()
+        s = 0
+        while s < n - 2:
+            end, fs, fb = ss._slide_segment(v, s, n, eps, vl)
+            ux, uy, lx, ly = [], [], [], []
+            ss._extend_hulls(ux, uy, lx, ly, vl, s, 0, end - s + 1)
+            assert ss._caliper_width(ux, uy, lx, ly)[0] / 2 <= eps, (seed, s, end)
+            x = np.arange(end - s + 1, dtype=float)
+            assert np.abs(v[s : end + 1] - (fb + fs * x)).max() <= eps + 1e-12, (seed, s)
+            if end + 1 < n:
+                ss._extend_hulls(ux, uy, lx, ly, vl, s, end - s + 1, end - s + 2)
+                assert ss._caliper_width(ux, uy, lx, ly)[0] / 2 > eps, (seed, s, end)
+            s = end + 1
+
+
 def test_slide_boundaries_match_exhaustive_caliper_growth():
     """The PLR extreme-line search must close every segment exactly
     where exhaustive per-prefix caliper growth closes it: each emitted
