@@ -63,8 +63,17 @@ def main() -> None:
             lines.append(f"| {name} | {code} | - | - | {r} |")
         else:
             lines.append(f"| {name} | {code} | {c:.1f} | {d:.1f} | {r:.2f}x |")
+    tail = ""
+    marker = "<!-- hand-curated below"
+    try:
+        prev = open("/root/repo/KERNELS.md").read()
+        if marker in prev:
+            i = prev.index(marker)
+            tail = "\n" + prev[i:]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/KERNELS.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print("\n".join(lines))
 
 
