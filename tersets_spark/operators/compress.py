@@ -24,7 +24,7 @@ survive shuffles/checkpoints without side metadata.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -265,6 +265,64 @@ def invariant_verify(
         .mapInPandas(
             verify, schema="doc_id string, n_tok long, within_bound boolean"
         )
+    )
+
+
+def catalog_verify(
+    df: DataFrame,
+    entries: Sequence[tuple[str, int, dict, str]],
+) -> DataFrame:
+    """Whole-catalog invariant sweep in ONE kernel pass: for every doc,
+    run each ``(label, method_code, config, check_name)`` entry
+    (compress -> decompress -> named check from
+    :mod:`..operators.invariants`) and emit PER-BATCH PARTIALS
+    ``(method, n, ok)`` so the shuffle carries a handful of tiny rows
+    per partition instead of n_docs * n_methods rows — map-side combine
+    by construction, the shape that survives a 10^12-sequence corpus.
+    Final aggregation returns ``(method, n_docs, all_ok)`` per entry.
+
+    This consolidates the driver's per-method bound/invariant queries
+    (reference gates tester.zig:508-533 and the per-method inline test
+    blocks) into a driver-budget-friendly summary; per-doc granularity
+    stays available via error_bound_verify/invariant_verify and the
+    pytest suite."""
+    ents = [(str(lbl), int(code), dict(cfg), str(chk)) for lbl, code, cfg, chk in entries]
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .invariants import CHECKS
+
+        counts = {lbl: 0 for lbl, _c, _f, _k in ents}
+        oks = {lbl: True for lbl, _c, _f, _k in ents}
+        for pdf in batches:
+            for toks in pdf["tokens"]:
+                v = np.asarray(toks, dtype=np.float64)
+                for lbl, code, cfg, chk in ents:
+                    blob = registry.compress(v, Method(code), cfg)
+                    out = registry.decompress(blob)
+                    try:
+                        ok = bool(CHECKS[chk](v, blob, out, cfg))
+                    except Exception:
+                        ok = False
+                    counts[lbl] += 1
+                    oks[lbl] = oks[lbl] and ok
+        yield pd.DataFrame(
+            {
+                "method": list(counts),
+                "n": np.asarray(list(counts.values()), dtype=np.int64),
+                "ok": [int(oks[lbl]) for lbl in counts],
+            }
+        )
+
+    partials = (
+        df.select("doc_id", "tokens")
+        # per-doc kernel work dominates — explicit fan-out (AQE never
+        # coalesces user-given counts; see _verify_parallelism)
+        .repartition(_verify_parallelism(df), F.col("doc_id"))
+        .mapInPandas(verify, schema="method string, n long, ok int")
+    )
+    return partials.groupBy("method").agg(
+        F.sum("n").alias("n_docs"),
+        F.min("ok").alias("all_ok"),
     )
 
 

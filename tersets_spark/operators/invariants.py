@@ -69,6 +69,21 @@ def _triples(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return sv, ev, ends
 
 
+def check_error_bound(v, blob, out, cfg) -> bool:
+    """Generic lossy gate (reference tester.zig:508-533): the
+    reconstruction has the input's length and every finite point is
+    within ``abs_error_bound``. The consolidated-catalog form of
+    operators.compress.error_bound_verify — identical tolerance."""
+    if out.size != v.size:
+        return False
+    eps = float(cfg.get("abs_error_bound", 0.0))
+    if eps > 0 and v.size:
+        finite = np.isfinite(v)
+        err = np.abs(v[finite] - out[finite])
+        return bool(err.size == 0 or err.max() <= eps + _TOL)
+    return True
+
+
 def check_rmse_segments(v, blob, out, cfg) -> bool:
     edge = _edge(v, blob, out)
     if edge is not None:
@@ -254,6 +269,7 @@ def check_lttb(v, blob, out, cfg) -> bool:
 
 #: method code -> in-kernel invariant, resolved by NAME on executors
 CHECKS = {
+    "error_bound": check_error_bound,
     "rmse_segments": check_rmse_segments,
     "vw_knots": check_vw_knots,
     "pwch": check_pwch,

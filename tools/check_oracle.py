@@ -61,8 +61,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--extras"]
+    extras = "--extras" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from tersets_spark.session import get_spark
@@ -74,6 +76,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = e.queries(), e.oracle_sql()
+    if extras or any(n.startswith("x_") for n in only):
+        # per-method debug rows behind the consolidated catalog gates
+        qs = {**qs, **e.extra_queries()}
+        oracles = {**oracles, **e.extra_oracle_sql()}
+        if not extras:
+            qs = {n: f for n, f in qs.items() if n in only}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
