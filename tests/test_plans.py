@@ -161,9 +161,9 @@ def test_ivf_join_is_equi_join_on_cell(spark):
 
 
 def test_ivf_cell_cap_in_plan_and_effective(spark):
-    """IVF hot-cell guard: the cap filter is a broadcast semi-join (not
-    a count window), and a cap smaller than a degenerate cell drops that
-    cell's corpus rows from the index."""
+    """Legacy IVF hot-cell guard (``resplit=False``): the cap filter is
+    a broadcast semi-join (not a count window), and a cap smaller than a
+    degenerate cell drops that cell's corpus rows from the index."""
     import numpy as np
 
     from tersets_spark.operators.similarity import ivf_topk
@@ -174,15 +174,54 @@ def test_ivf_cell_cap_in_plan_and_effective(spark):
     queries = emb.filter(F.col("vec_id") < 5)
     # ONE centroid -> every corpus row lands in the same (hot) cell
     cents = np.ones((1, 64))
-    plan = _plan(ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4))
+    plan = _plan(
+        ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4, resplit=False)
+    )
     # the guard must be the broadcast-semi-join shape (cell cardinality
     # is tiny, so a count window would funnel the corpus through
     # n_cells reducers) and must NOT add a full-data exchange
     assert "LeftSemi" in plan and "Broadcast" in plan, plan
     assert "EvalPython" not in plan
-    n = ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=4).count()
+    n = ivf_topk(
+        emb, queries, cents, k=3, nprobe=1, cell_cap=4, resplit=False
+    ).count()
     assert n == 0  # the single degenerate cell exceeded the cap
     assert ivf_topk(emb, queries, cents, k=3, nprobe=1, cell_cap=None).count() > 0
+    spark.catalog.clearCache()
+
+
+def test_ivf_resplit_keeps_hot_cell_rows(spark):
+    """Default IVF settings must NOT silently drop corpus rows: a hot
+    cell is re-split into sub-centroids, every row stays in the index,
+    and the drop metric reports zero (round-3 verdict item #3)."""
+    import numpy as np
+
+    from tersets_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    n_corpus = emb.count()
+    # ONE centroid + a cap well below the corpus -> guaranteed hot cell
+    cents = np.ones((1, 64))
+    idx = build_ivf_index(emb, cents, cell_cap=100)
+    assert idx.stats["n_hot"] == 1
+    assert idx.stats["dropped_rows"] == 0, idx.stats
+    assert idx.assigned.count() == n_corpus  # nothing left the index
+    # more than one effective cell now exists, and probing works
+    assert len(idx.cell_ids) > 1
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = ivf_topk(
+        emb, queries, cents, k=3, nprobe=2, cell_cap=100, index=idx
+    ).count()
+    assert n > 0
+    idx.unpersist()
+    # pathological cap (4 rows/cell over a 500-row degenerate cell):
+    # residual drops are allowed but must be REPORTED, never silent
+    idx2 = build_ivf_index(emb, cents, cell_cap=4)
+    kept = idx2.assigned.count()
+    assert kept + idx2.stats["dropped_rows"] == n_corpus
+    idx2.unpersist()
 
 
 def test_textprofile_is_single_projection(spark):
