@@ -29,8 +29,9 @@ def _area(x1, y1, x2, y2, x3, y3) -> float:
     return abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / 2
 
 
-def _simplify_run(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
-    """Surviving indices of the finite run [s, e)."""
+def _simplify_run_ref(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
+    """Reference-shaped heap loop (kept as the A/B arbiter for the fast
+    path below — tests assert byte-equality on adversarial corpora)."""
     n = e - s
     if n <= 2:
         return list(range(s, e))
@@ -64,6 +65,92 @@ def _simplify_run(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
                 version[nb] += 1
                 heapq.heappush(heap, (area_of(nb), nb, version[nb]))
     return [idx[i] for i in range(n) if alive[i]]
+
+
+def _simplify_run(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
+    """Surviving indices of the finite run [s, e).
+
+    Fast path, EXACT-ORDER-equal to `_simplify_run_ref` (same
+    eliminations, same tie-breaks, byte-identical payload):
+
+    * initial areas come from ONE vectorized numpy pass replicating the
+      scalar `_area` op order exactly (x spacing is integral, so
+      ``1.0*(y3-y1) - 2.0*(y2-y1)`` is the identical IEEE sequence);
+    * a current-area list makes pop validation an O(1) float compare
+      instead of version counters + recomputation;
+    * neighbor updates push a heap entry ONLY when the area DECREASED —
+      an entry's key therefore never overstates the true area, so the
+      first VALID pop is still the global minimum, while the common VW
+      case (removal grows the neighbors' triangles) skips the push
+      entirely and is lazily re-keyed if that stale entry surfaces.
+    """
+    n = e - s
+    if n <= 2:
+        return list(range(s, e))
+    vl = v[s:e].tolist()  # plain floats: the heap loop is scalar-bound
+    va = v[s:e]
+    # bitwise replication of _area(p, i, q) at unit spacing:
+    # (x2-x1)=1.0, (x3-x1)=2.0 -> |1.0*(y3-y1) - 2.0*(y2-y1)| / 2
+    init = np.abs(1.0 * (va[2:] - va[:-2]) - 2.0 * (va[1:-1] - va[:-2])) / 2
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    inf = float("inf")
+    dead = -1.0  # areas are >= 0, so -1 is a free "eliminated" sentinel
+    cur = [inf] * n
+    cur[1 : n - 1] = init.tolist()
+    # only sub-bound areas can ever be eliminated, so only they need
+    # heap coverage: a point entering sub-bound territory does so via a
+    # DECREASE, which pushes a fresh entry below — the heap stays the
+    # candidate set, not the whole run
+    cand0 = np.flatnonzero(init <= bound)
+    heap = list(zip(init[cand0].tolist(), (cand0 + 1).tolist()))
+    heapq.heapify(heap)
+    push, pop = heapq.heappush, heapq.heappop
+    last = n - 1
+    while heap:
+        a, i = pop(heap)
+        ca = cur[i]
+        if ca != a:
+            if ca != dead and ca <= bound:
+                # stale (area grew since this entry was pushed): re-key
+                push(heap, (ca, i))
+            continue
+        # cascade: when an updated neighbor's new area drops STRICTLY
+        # below the popped key a, it is the unique global minimum
+        # (every other alive point's area is >= a: the heap's minimum
+        # key was a, keys never overstate, and eliminations only touch
+        # adjacent areas) — eliminate it immediately, no heap round-trip
+        while True:
+            cur[i] = dead
+            p, q = prv[i], nxt[i]
+            nxt[p], prv[q] = q, p
+            cand = None
+            if 0 < p:
+                pp, qq = prv[p], nxt[p]
+                d = (p - pp) * (vl[qq] - vl[pp]) - (qq - pp) * (vl[p] - vl[pp])
+                nap = (d if d >= 0 else -d) / 2
+                if nap < a:
+                    cand = (nap, p)
+                elif nap < cur[p] and nap <= bound:
+                    push(heap, (nap, p))
+                cur[p] = nap
+            if q < last:
+                pp, qq = prv[q], nxt[q]
+                d = (q - pp) * (vl[qq] - vl[pp]) - (qq - pp) * (vl[q] - vl[pp])
+                naq = (d if d >= 0 else -d) / 2
+                if naq < a and (cand is None or (naq, q) < cand):
+                    if cand is not None:
+                        # p lost the tie-break: it stays alive for now —
+                        # make sure its (smaller-than-a) key is in the heap
+                        push(heap, cand)
+                    cand = (naq, q)
+                elif naq < cur[q] and naq <= bound:
+                    push(heap, (naq, q))
+                cur[q] = naq
+            if cand is None:
+                break
+            i = cand[1]
+    return [s + i for i in range(n) if cur[i] != dead]
 
 
 def compress(values: np.ndarray, config: dict | None = None) -> bytes:

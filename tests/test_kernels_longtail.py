@@ -317,3 +317,46 @@ def test_slide_boundaries_match_exhaustive_caliper_growth():
                 w2 = ss._caliper_width(ux, uy, lx, ly)[0]
                 assert w2 / 2 > eps, (s, end, w2)
             s = end + 1
+
+
+def test_vw_fast_path_equals_reference_heap():
+    """The VW fast path (vectorized init areas, candidate-only heap,
+    lazy re-key, strict-below-key cascade) must reproduce the
+    reference-shaped lazy-deletion heap loop EXACTLY — same surviving
+    knots, hence byte-identical payloads — across adversarial shapes
+    (ties, collinear stretches, plateaus, NaN-split runs) and bounds
+    including 0 and huge."""
+    from tersets_spark.kernels import vw
+    from tersets_spark.kernels.segmentation import finite_runs
+
+    rng = np.random.default_rng(17)
+    shapes = []
+    for i in range(160):
+        n = int(rng.integers(3, 300))
+        kind = i % 8
+        if kind == 0:
+            x = rng.normal(0, 1, n)
+        elif kind == 1:
+            x = np.sin(np.arange(n) * 0.1) * 100 + rng.normal(0, 1, n)
+        elif kind == 2:
+            x = rng.integers(0, 5, n).astype(float)  # heavy area ties
+        elif kind == 3:
+            x = np.round(rng.normal(0, 2, n))
+        elif kind == 4:
+            x = np.arange(n, dtype=float)  # collinear: all areas zero
+        elif kind == 5:
+            x = np.repeat(rng.normal(0, 1, max(1, n // 5)), 5)[:n]
+        elif kind == 6:
+            x = rng.integers(0, 131072, n).astype(float)
+        else:
+            x = np.where(rng.random(n) < 0.05, np.nan, rng.normal(0, 1, n))
+        shapes.append(x)
+    for bound in (0.0, 0.5, 2.0, 1e6):
+        for x in shapes:
+            v = np.ascontiguousarray(x, dtype=np.float64)
+            for rs, re_, fin in finite_runs(v):
+                if not fin:
+                    continue
+                assert vw._simplify_run(v, rs, re_, bound) == vw._simplify_run_ref(
+                    v, rs, re_, bound
+                ), (bound, rs, re_)
