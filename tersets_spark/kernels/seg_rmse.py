@@ -164,6 +164,195 @@ def compress_sliding_window(values: np.ndarray, config: dict | None = None) -> b
     return _pack_triples(triples)
 
 
+def _bottom_up_run_ref(
+    v: np.ndarray, ps: _PrefixSums, rs: int, re: int, bound2: float
+) -> list[tuple[int, int]]:
+    """Reference-shaped lazy-deletion heap merge (kept as the A/B
+    arbiter for the fast path below — tests assert identical segment
+    lists on adversarial corpora). Returns surviving (start, end)."""
+    starts = list(range(rs, re, 2))
+    segs = [(s, min(s + 1, re - 1)) for s in starts]
+    if not segs:
+        return []
+    nxt = list(range(1, len(segs))) + [-1]
+    prv = [-1] + list(range(len(segs) - 1))
+    alive = [True] * len(segs)
+    cvl, cv2l, cvtl, ctl, ct2l, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl
+
+    def merge_cost(i: int) -> float:
+        j = nxt[i]
+        if j < 0:
+            return np.inf
+        s = segs[i][0]
+        e = segs[j][1]
+        if e <= s:
+            return 0.0
+        vs = vls[s]
+        m = (vls[e] - vs) / (e - s)
+        n1 = e - s + 1
+        Sv = cvl[e + 1] - cvl[s]
+        Sv2 = cv2l[e + 1] - cv2l[s]
+        Svt = cvtl[e + 1] - cvtl[s]
+        St = ctl[e + 1] - ctl[s]
+        St2 = ct2l[e + 1] - ct2l[s]
+        Syy = Sv2 - 2 * vs * Sv + n1 * vs * vs
+        Sxy = (Svt - s * Sv) - vs * (St - s * n1)
+        Sxx = St2 - 2 * s * St + n1 * s * s
+        sse = Syy - 2 * m * Sxy + m * m * Sxx
+        return sse / n1 if sse > 0 else 0.0
+
+    heap = [(merge_cost(i), i, 0) for i in range(len(segs)) if nxt[i] >= 0]
+    heapq.heapify(heap)
+    version = [0] * len(segs)
+    while heap:
+        cost, i, ver = heapq.heappop(heap)
+        if not alive[i] or ver != version[i] or cost > bound2:
+            if cost > bound2 and alive[i] and ver == version[i]:
+                break
+            continue
+        j = nxt[i]
+        if j < 0:
+            continue
+        segs[i] = (segs[i][0], segs[j][1])
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[j] >= 0:
+            prv[nxt[j]] = i
+        version[i] += 1
+        if nxt[i] >= 0:
+            heapq.heappush(heap, (merge_cost(i), i, version[i]))
+        p = prv[i]
+        if p >= 0:
+            version[p] += 1
+            heapq.heappush(heap, (merge_cost(p), p, version[p]))
+    return [se for k, se in enumerate(segs) if alive[k]]
+
+
+def _bottom_up_run(
+    v: np.ndarray, ps: _PrefixSums, rs: int, re: int, bound2: float
+) -> list[tuple[int, int]]:
+    """Fast path, EXACT-ORDER-equal to `_bottom_up_run_ref` (same merge
+    sequence, same tie-breaks): vectorized initial pair-merge costs
+    (bitwise-identical op order), a current-cost list for O(1) pop
+    validation, candidate-only heap coverage (a cost can only enter
+    sub-bound territory via a DECREASE, which pushes a fresh entry),
+    and cascade merging when an updated cost drops strictly below the
+    popped key (it is then provably the global minimum — every other
+    alive cost is >= the popped key)."""
+    k = (re - rs + 1) // 2
+    if k <= 0:
+        return []
+    last_end = re - 1
+    seg_end = list(range(rs + 1, re, 2))
+    if len(seg_end) < k:
+        seg_end.append(last_end)  # odd run: trailing singleton slot
+    seg_start = list(range(rs, re, 2))
+    if k == 1:
+        return [(seg_start[0], seg_end[0])]
+    # vectorized initial merge costs (slot i merging slot i+1):
+    # identical IEEE sequence as the scalar merge_cost
+    s_np = np.arange(rs, re - 2, 2, dtype=np.int64)
+    e_np = np.minimum(s_np + 3, last_end)
+    vs = ps.v[s_np]
+    m = (ps.v[e_np] - vs) / (e_np - s_np)
+    n1 = e_np - s_np + 1
+    Sv = ps.cv[e_np + 1] - ps.cv[s_np]
+    Sv2 = ps.cv2[e_np + 1] - ps.cv2[s_np]
+    Svt = ps.cvt[e_np + 1] - ps.cvt[s_np]
+    St = ps.ct[e_np + 1] - ps.ct[s_np]
+    St2 = ps.ct2[e_np + 1] - ps.ct2[s_np]
+    Syy = Sv2 - 2 * vs * Sv + n1 * vs * vs
+    Sxy = (Svt - s_np * Sv) - vs * (St - s_np * n1)
+    Sxx = St2 - 2 * s_np * St + n1 * s_np * s_np
+    sse = Syy - 2 * m * Sxy + m * m * Sxx
+    init = np.where(sse > 0, sse / n1, 0.0)
+
+    nxt = list(range(1, k)) + [-1]
+    prv = [-1] + list(range(k - 1))
+    inf = float("inf")
+    dead = -1.0  # costs are >= 0: free "merged-away slot" sentinel
+    cur = [inf] * k
+    cur[: k - 1] = init.tolist()
+    cand0 = np.flatnonzero(init <= bound2)
+    heap = list(zip(init[cand0].tolist(), cand0.tolist()))
+    heapq.heapify(heap)
+    push, pop = heapq.heappush, heapq.heappop
+    cvl, cv2l, cvtl, ctl, ct2l, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl
+
+    while heap:
+        a, i = pop(heap)
+        ca = cur[i]
+        if ca != a:
+            if ca != dead and ca <= bound2:
+                push(heap, (ca, i))  # stale (cost grew): re-key
+            continue
+        while True:
+            j = nxt[i]
+            seg_end[i] = seg_end[j]
+            cur[j] = dead
+            nj = nxt[j]
+            nxt[i] = nj
+            if nj >= 0:
+                prv[nj] = i
+            cand = None
+            # inlined merge cost of the grown slot i with its new next
+            # (the call-chain + closure-lookup overhead was ~half the
+            # loop; identical expressions to _bottom_up_run_ref's
+            # merge_cost)
+            if nj < 0:
+                nci = inf
+            else:
+                s = seg_start[i]
+                e = seg_end[nj]
+                vs = vls[s]
+                m = (vls[e] - vs) / (e - s)
+                n1 = e - s + 1
+                Sv = cvl[e + 1] - cvl[s]
+                Syy = cv2l[e + 1] - cv2l[s] - 2 * vs * Sv + n1 * vs * vs
+                Sxy = (cvtl[e + 1] - cvtl[s] - s * Sv) - vs * (
+                    ctl[e + 1] - ctl[s] - s * n1
+                )
+                Sxx = ct2l[e + 1] - ct2l[s] - 2 * s * (ctl[e + 1] - ctl[s]) + n1 * s * s
+                sse = Syy - 2 * m * Sxy + m * m * Sxx
+                nci = sse / n1 if sse > 0 else 0.0
+            if nci < a:
+                cand = (nci, i)
+            elif nci <= bound2:
+                # the merged slot's own entry was just consumed by this
+                # pop — its new cost needs unconditional fresh coverage
+                push(heap, (nci, i))
+            cur[i] = nci
+            p = prv[i]
+            if p >= 0:
+                s = seg_start[p]
+                e = seg_end[i]
+                vs = vls[s]
+                m = (vls[e] - vs) / (e - s)
+                n1 = e - s + 1
+                Sv = cvl[e + 1] - cvl[s]
+                Syy = cv2l[e + 1] - cv2l[s] - 2 * vs * Sv + n1 * vs * vs
+                Sxy = (cvtl[e + 1] - cvtl[s] - s * Sv) - vs * (
+                    ctl[e + 1] - ctl[s] - s * n1
+                )
+                Sxx = ct2l[e + 1] - ct2l[s] - 2 * s * (ctl[e + 1] - ctl[s]) + n1 * s * s
+                sse = Syy - 2 * m * Sxy + m * m * Sxx
+                ncp = sse / n1 if sse > 0 else 0.0
+                if ncp < a and (cand is None or (ncp, p) < cand):
+                    if cand is not None:
+                        push(heap, cand)
+                    cand = (ncp, p)
+                elif ncp < cur[p] and ncp <= bound2:
+                    push(heap, (ncp, p))
+                cur[p] = ncp
+            if cand is None:
+                break
+            i = cand[1]
+            a = cand[0]
+    return [
+        (seg_start[i], seg_end[i]) for i in range(k) if cur[i] != dead
+    ]
+
+
 def compress_bottom_up(values: np.ndarray, config: dict | None = None) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.float64)
     cfg = config or {}
@@ -172,82 +361,19 @@ def compress_bottom_up(values: np.ndarray, config: dict | None = None) -> bytes:
         raise ValueError("aggregate_error_bound must be finite and >= 0")
     triples: list[tuple[float, float, int]] = []
     ps = None
+    # heap keyed by MEAN SQUARED error (sse/n) instead of rmse: sqrt is
+    # monotone, so cheapest-first order is the same modulo sqrt-rounding
+    # ties (engine-defined tie order, as elsewhere), and the bound
+    # compares against bound^2 — one sqrt saved per cost evaluation
+    bound2 = bound * bound
     for rs, re, is_finite in finite_runs(v):
         if not is_finite:
             triples.append((float(v[rs]), float(v[rs]), rs))
             continue
         if ps is None:  # prefix sums are global; built once, runs slice
             ps = _PrefixSums(v)
-        # initial fine segments: adjacent pairs
-        starts = list(range(rs, re, 2))
-        segs = []  # (start, end) inclusive
-        for s in starts:
-            segs.append((s, min(s + 1, re - 1)))
-        if not segs:
-            continue
-        # doubly linked list over segment slots
-        nxt = list(range(1, len(segs))) + [-1]
-        prv = [-1] + list(range(len(segs) - 1))
-        alive = [True] * len(segs)
-
-        # heap keyed by MEAN SQUARED error (sse/n) instead of rmse:
-        # sqrt is monotone, so cheapest-first order is the same modulo
-        # sqrt-rounding ties (engine-defined tie order, as elsewhere),
-        # and the bound compares against bound^2 — one sqrt saved per
-        # cost evaluation, plus the sse chain inlined against local
-        # list refs (the eval runs ~2x per merge)
-        bound2 = bound * bound
-        cvl, cv2l, cvtl, ctl, ct2l, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl
-
-        def merge_cost(i: int) -> float:
-            j = nxt[i]
-            if j < 0:
-                return np.inf
-            s = segs[i][0]
-            e = segs[j][1]
-            if e <= s:
-                return 0.0
-            vs = vls[s]
-            m = (vls[e] - vs) / (e - s)
-            n1 = e - s + 1
-            Sv = cvl[e + 1] - cvl[s]
-            Sv2 = cv2l[e + 1] - cv2l[s]
-            Svt = cvtl[e + 1] - cvtl[s]
-            St = ctl[e + 1] - ctl[s]
-            St2 = ct2l[e + 1] - ct2l[s]
-            Syy = Sv2 - 2 * vs * Sv + n1 * vs * vs
-            Sxy = (Svt - s * Sv) - vs * (St - s * n1)
-            Sxx = St2 - 2 * s * St + n1 * s * s
-            sse = Syy - 2 * m * Sxy + m * m * Sxx
-            return sse / n1 if sse > 0 else 0.0
-
-        heap = [(merge_cost(i), i, 0) for i in range(len(segs)) if nxt[i] >= 0]
-        heapq.heapify(heap)
-        version = [0] * len(segs)
-        while heap:
-            cost, i, ver = heapq.heappop(heap)
-            if not alive[i] or ver != version[i] or cost > bound2:
-                if cost > bound2 and alive[i] and ver == version[i]:
-                    break
-                continue
-            j = nxt[i]
-            if j < 0:
-                continue
-            segs[i] = (segs[i][0], segs[j][1])
-            alive[j] = False
-            nxt[i] = nxt[j]
-            if nxt[j] >= 0:
-                prv[nxt[j]] = i
-            version[i] += 1
-            if nxt[i] >= 0:
-                heapq.heappush(heap, (merge_cost(i), i, version[i]))
-            p = prv[i]
-            if p >= 0:
-                version[p] += 1
-                heapq.heappush(heap, (merge_cost(p), p, version[p]))
-        for k, (s, e) in enumerate(segs):
-            if alive[k]:
-                triples.append((float(v[s]), float(v[e]), e))
+        for s, e in _bottom_up_run(v, ps, rs, re, bound2):
+            triples.append((float(v[s]), float(v[e]), e))
     return _pack_triples(triples)
 
 

@@ -360,3 +360,48 @@ def test_vw_fast_path_equals_reference_heap():
                 assert vw._simplify_run(v, rs, re_, bound) == vw._simplify_run_ref(
                     v, rs, re_, bound
                 ), (bound, rs, re_)
+
+
+def test_bottom_up_fast_path_equals_reference_heap():
+    """The BottomUp fast path (vectorized init pair costs,
+    candidate-only heap, lazy re-key, strict-below-key cascade) must
+    reproduce the reference-shaped lazy-deletion heap merge EXACTLY —
+    same segment list, hence byte-identical payloads — across
+    adversarial shapes and bounds including 0 (all-collinear full-merge)
+    and huge."""
+    from tersets_spark.kernels import seg_rmse as sr
+    from tersets_spark.kernels.segmentation import finite_runs
+
+    rng = np.random.default_rng(23)
+    shapes = []
+    for i in range(160):
+        n = int(rng.integers(2, 300))
+        kind = i % 8
+        if kind == 0:
+            x = rng.normal(0, 1, n)
+        elif kind == 1:
+            x = np.sin(np.arange(n) * 0.1) * 100 + rng.normal(0, 1, n)
+        elif kind == 2:
+            x = rng.integers(0, 5, n).astype(float)  # heavy cost ties
+        elif kind == 3:
+            x = np.round(rng.normal(0, 2, n))
+        elif kind == 4:
+            x = np.arange(n, dtype=float)  # collinear: all costs zero
+        elif kind == 5:
+            x = np.repeat(rng.normal(0, 1, max(1, n // 5)), 5)[:n]
+        elif kind == 6:
+            x = rng.integers(0, 131072, n).astype(float)
+        else:
+            x = np.where(rng.random(n) < 0.05, np.nan, rng.normal(0, 1, n))
+        shapes.append(x)
+    for bound in (0.0, 0.5, 2.0, 1e6):
+        b2 = bound * bound
+        for x in shapes:
+            v = np.ascontiguousarray(x, dtype=np.float64)
+            ps = sr._PrefixSums(v)
+            for rs, re_, fin in finite_runs(v):
+                if not fin:
+                    continue
+                assert sr._bottom_up_run(v, ps, rs, re_, b2) == sr._bottom_up_run_ref(
+                    v, ps, rs, re_, b2
+                ), (bound, rs, re_)
