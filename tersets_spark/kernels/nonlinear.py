@@ -452,6 +452,236 @@ def _fast_longest(vl: list, s: int, e: int, masks) -> tuple | None:
     return last_good
 
 
+class _RunSums:
+    """Per-run prefix context for the long-segment gallop: O(1)
+    normal-equation sums for the linear/quadratic/exponential fits over
+    ANY window (binomial re-expansion of segment-local x in run-local
+    prefix sums), plus the decoder-arithmetic arrays for the exact L∞
+    verification slice. Built once per finite run; pays for itself as
+    soon as segments average more than a few dozen points."""
+
+    def __init__(self, v: np.ndarray, rs: int, re: int):
+        y = np.ascontiguousarray(v[rs:re], dtype=np.float64)
+        n = y.size
+        t = np.arange(n, dtype=np.float64)
+        self.y = y
+        self.yl = y.tolist()  # scalar residual loops (short windows)
+        self.t = t
+
+        def cum(a):
+            return np.concatenate(([0.0], np.cumsum(a)))
+
+        # numpy prefixes for the vectorized lazy-mask builds, list
+        # mirrors for the scalar O(1) per-probe lookups
+        self.cy_np = cum(y)
+        self.cty_np = cum(t * y)
+        self.ct2y_np = cum(t * t * y)
+        self.cy = self.cy_np.tolist()
+        self.cy2 = cum(y * y).tolist()
+        self.cty = self.cty_np.tolist()
+        self.ct2y = self.ct2y_np.tolist()
+        pos = y > 0
+        self.cpos_np = np.concatenate(([0], np.cumsum(pos.astype(np.int64))))
+        self.cpos = self.cpos_np.tolist()
+        with np.errstate(all="ignore"):
+            ly = np.where(pos, np.log(np.where(pos, y, 1.0)), 0.0)
+        self.cly_np = cum(ly)
+        self.ctly_np = cum(t * ly)
+        self.cly = self.cly_np.tolist()
+        self.ctly = self.ctly_np.tolist()
+
+
+def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
+    """Greedy longest-feasible over run-local [s, e) via `_RunSums`:
+    same doubling+bisect shape as `_longest_feasible`, but each probe's
+    linear/quadratic/exponential fit costs O(1) (prefix sums + closed
+    -form Σx^k) and a one-sided SSE filter (L∞ >= RMSE) rejects
+    hopeless probes without touching the window. Emitted fits are
+    verified with the DECODER's numpy arithmetic before acceptance, so
+    the bound guarantee is self-checked exactly like the scalar path
+    (fit rounding may differ — both paths only emit checked fits).
+    Returns (end_exclusive, family, params) in run-local coordinates."""
+    y = rsu.y
+    yl = rsu.yl
+    t = rsu.t
+    cy, cy2, cty, ct2y = rsu.cy, rsu.cy2, rsu.cty, rsu.ct2y
+    cpos, cly, ctly = rsu.cpos, rsu.cly, rsu.ctly
+    filt2 = (eps * 1.05) ** 2  # SSE slack: prefix-sum cancellation must
+    # not reject a genuinely feasible boundary probe
+
+    def check(yw, yhat, L):
+        """Exact L∞ check with a tail-first early-out: doubling probes
+        grow at the tail, so a violation is most likely in the newest
+        points — a subsample max > eps implies the full max > eps
+        (EXACT early rejection, not a heuristic)."""
+        if L > 48:
+            if np.abs(yw[-16:] - yhat[-16:]).max() > eps:
+                return False
+        return np.abs(yw - yhat).max() <= eps
+
+    def probe(L: int, fams):
+        if L == 2:
+            return (s + 2, 0, (float(y[s]), float(y[s + 1] - y[s]), 0.0))
+        w = s + L
+        Sy = cy[w] - cy[s]
+        Sty = cty[w] - cty[s]
+        Sxy = Sty - s * Sy
+        s1 = L * (L - 1) // 2
+        s2 = (L - 1) * L * (2 * L - 1) // 6
+        xw = t[:L]
+        yw = y[s:w]
+        for fam in fams:
+            params = None
+            yhat = None
+            if fam == 0:
+                a, b = _ls2_scalar(L, s1, s2, Sy, Sxy)
+                Sy2 = cy2[w] - cy2[s]
+                sse = (
+                    Sy2 - 2 * a * Sy - 2 * b * Sxy
+                    + a * a * L + 2 * a * b * s1 + b * b * s2
+                )
+                if sse > filt2 * L:
+                    continue
+                if L <= 64:
+                    # scalar reversed check: same IEEE ops as the
+                    # decoder's a + b*x, early exit at the tail where
+                    # doubling probes violate first
+                    ok = True
+                    for i in range(L - 1, -1, -1):
+                        if abs(yl[s + i] - (a + b * i)) > eps:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    if fam_order[0] != 0:
+                        fam_order.remove(0)
+                        fam_order.insert(0, 0)
+                    return (s + L, 0, (a, b, 0.0))
+                params = (a, b, 0.0)
+                yhat = a + b * xw
+            elif fam == 1:
+                Sx2y = (ct2y[w] - ct2y[s]) - 2 * s * Sty + (s * s) * Sy
+                s3 = s1 * s1
+                s4 = (L - 1) * L * (2 * L - 1) * (3 * L * L - 3 * L - 1) // 30
+                d = (
+                    L * (s2 * s4 - s3 * s3)
+                    - s1 * (s1 * s4 - s3 * s2)
+                    + s2 * (s1 * s3 - s2 * s2)
+                )
+                if d == 0:
+                    continue
+                a = (
+                    Sy * (s2 * s4 - s3 * s3)
+                    - s1 * (Sxy * s4 - s3 * Sx2y)
+                    + s2 * (Sxy * s3 - s2 * Sx2y)
+                ) / d
+                b = (
+                    L * (Sxy * s4 - Sx2y * s3)
+                    - Sy * (s1 * s4 - s3 * s2)
+                    + s2 * (s1 * Sx2y - s2 * Sxy)
+                ) / d
+                c = (
+                    L * (s2 * Sx2y - s3 * Sxy)
+                    - s1 * (s1 * Sx2y - s2 * Sxy)
+                    + Sy * (s1 * s3 - s2 * s2)
+                ) / d
+                Sy2 = cy2[w] - cy2[s]
+                sse = (
+                    Sy2
+                    - 2 * (a * Sy + b * Sxy + c * Sx2y)
+                    + a * a * L + b * b * s2 + c * c * s4
+                    + 2 * (a * b * s1 + a * c * s2 + b * c * s3)
+                )
+                if sse > filt2 * L:
+                    continue
+                if L <= 64:
+                    ok = True
+                    for i in range(L - 1, -1, -1):
+                        if abs(yl[s + i] - (a + b * i + c * i * i)) > eps:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    if fam_order[0] != 1:
+                        fam_order.remove(1)
+                        fam_order.insert(0, 1)
+                    return (s + L, 1, (a, b, c))
+                params = (a, b, c)
+                yhat = a + b * xw + c * xw * xw
+            elif fam == 2:
+                if cpos[w] - cpos[s] != L:
+                    continue
+                Sly = cly[w] - cly[s]
+                Sxly = (ctly[w] - ctly[s]) - s * Sly
+                la, b = _ls2_scalar(L, s1, s2, Sly, Sxly)
+                a = math.exp(la)
+                params = (a, b, 0.0)
+                yhat = a * np.exp(b * xw)
+            else:
+                fit = _fit_eval(fam, xw, yw)
+                if fit is None:
+                    continue
+                params, yhat = fit
+                params = tuple(float(p) for p in params)
+            if check(yw, yhat, L):
+                if fam_order[0] != fam:
+                    fam_order.remove(fam)
+                    fam_order.insert(0, fam)
+                return (s + L, fam, params)
+        return None
+
+    def gallop(fams, start_len, seed_good):
+        length = start_len
+        last_good = seed_good
+        while True:
+            hi = min(s + length, e)
+            good = probe(hi - s, fams)
+            if good is None:
+                break
+            last_good = good
+            if hi == e:
+                break
+            length *= 2
+        if last_good is None:
+            return None
+        lo_len = last_good[0] - s
+        hi_len = min(2 * lo_len, e - s)
+        while lo_len < hi_len:
+            mid = (lo_len + hi_len + 1) // 2
+            good = probe(mid, fams)
+            if good is not None:
+                last_good = good
+                lo_len = mid
+            else:
+                hi_len = mid - 1
+        return last_good
+
+    # phase 1: gallop over the O(1)-fit families only (sqrt/power fits
+    # are O(L) per probe and on most data never win — probing them on
+    # every failed doubling/bisect step was the dominant cost)
+    pfx = [f for f in fam_order if f in (0, 1)]
+    slow = [f for f in fam_order if f not in (0, 1)]
+    if fam_order[0] in (3, 4):
+        # a slow family is the current winner (sqrt/power-shaped run):
+        # give it full probing rights from the start
+        res = gallop(fam_order[:], 2, None)
+        return res if res is not None else (s + 1, 0, (float(y[s]), 0.0, 0.0))
+    res = gallop(pfx, 2, None)
+    if res is None:
+        res = (s + 1, 0, (float(y[s]), 0.0, 0.0))
+    # phase 2: can sqrt/power extend past the prefix-family boundary?
+    # one O(L) attempt at boundary+1; on success they take over the
+    # gallop (and move to the front for the following segments)
+    ext_len = res[0] - s + 1
+    if slow and s + ext_len <= e and ext_len > 2:
+        got = probe(ext_len, slow)
+        if got is not None:
+            res2 = gallop(fam_order[:], ext_len * 2, got)
+            if res2 is not None:
+                res = res2
+    return res
+
+
 def _longest_feasible(v: np.ndarray, s: int, e: int, eps: float):
     """Greedy: doubling probe for the longest prefix any family fits
     within eps; returns (end_exclusive, family, params)."""
@@ -590,9 +820,26 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
             segs.extend(_dp_segments(v, rs, re, eps))
             continue
         s = rs
+        rsu: _RunSums | None = None
+        fam_order: list[int] = list(range(_FAMILIES))
+
+        def gallop(s_: int) -> tuple[int, int, tuple]:
+            # long runs take the O(1)-fit prefix gallop; short runs
+            # keep the scalar/numpy per-probe path (the _RunSums build
+            # doesn't amortize below a few dozen points)
+            nonlocal rsu
+            if re - rs >= 64:
+                if rsu is None:
+                    rsu = _RunSums(v, rs, re)
+                end_l, fam, params = _prefix_longest(
+                    rsu, s_ - rs, re - rs, eps, fam_order
+                )
+                return rs + end_l, fam, params
+            return _longest_feasible(v, s_, re, eps)
+
         while s < re:
             if masks is None and v.size >= 64:
-                end, fam, params = _longest_feasible(v, s, re, eps)
+                end, fam, params = gallop(s)
                 probe_lens.append(end - s)
                 if len(probe_lens) >= 4:
                     short = sum(probe_lens) / len(probe_lens) <= _K_FAST
@@ -604,7 +851,7 @@ def compress(values: np.ndarray, config: dict | None = None) -> bytes:
                 continue
             res = _fast_longest(vl, s, re, masks) if masks else None
             if res is None:
-                res = _longest_feasible(v, s, re, eps)
+                res = gallop(s)
             end, fam, params = res
             segs.append((end, fam, params))
             s = end
