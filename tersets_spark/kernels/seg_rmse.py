@@ -273,14 +273,38 @@ def _bottom_up_run(
     dead = -1.0  # costs are >= 0: free "merged-away slot" sentinel
     cur = [inf] * k
     cur[: k - 1] = init.tolist()
+    # initial candidates consumed as a pre-sorted stream (lexsort by
+    # (cost, slot) — the heap tuples' total order); only dynamic
+    # updates go through the small overflow heap (same ~1.45x trick as
+    # VW: most pops become a pointer increment, not an O(log n) sift)
     cand0 = np.flatnonzero(init <= bound2)
-    heap = list(zip(init[cand0].tolist(), cand0.tolist()))
-    heapq.heapify(heap)
+    order = np.lexsort((cand0, init[cand0]))
+    sa = init[cand0][order].tolist()
+    si = cand0[order].tolist()
+    sp, sn = 0, len(sa)
+    heap: list = []
     push, pop = heapq.heappush, heapq.heappop
     cvl, cv2l, cvtl, ctl, ct2l, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl
 
-    while heap:
-        a, i = pop(heap)
+    while True:
+        if sp < sn:
+            if heap:
+                h0 = heap[0]
+                sae = sa[sp]
+                if h0[0] < sae or (h0[0] == sae and h0[1] < si[sp]):
+                    a, i = pop(heap)
+                else:
+                    a = sae
+                    i = si[sp]
+                    sp += 1
+            else:
+                a = sa[sp]
+                i = si[sp]
+                sp += 1
+        elif heap:
+            a, i = pop(heap)
+        else:
+            break
         ca = cur[i]
         if ca != a:
             if ca != dead and ca <= bound2:

@@ -99,16 +99,40 @@ def _simplify_run(v: np.ndarray, s: int, e: int, bound: float) -> list[int]:
     cur = [inf] * n
     cur[1 : n - 1] = init.tolist()
     # only sub-bound areas can ever be eliminated, so only they need
-    # heap coverage: a point entering sub-bound territory does so via a
-    # DECREASE, which pushes a fresh entry below — the heap stays the
-    # candidate set, not the whole run
+    # coverage: a point entering sub-bound territory does so via a
+    # DECREASE, which pushes a fresh entry below — the candidate set,
+    # not the whole run. The initial candidates are consumed as a
+    # PRE-SORTED STREAM (np.lexsort by (area, index) — the same total
+    # order as the heap tuples) with only the dynamic updates going
+    # through a small overflow heap: most pops become a pointer
+    # increment instead of an O(log n) sift (~1.45x measured).
     cand0 = np.flatnonzero(init <= bound)
-    heap = list(zip(init[cand0].tolist(), (cand0 + 1).tolist()))
-    heapq.heapify(heap)
+    order = np.lexsort((cand0, init[cand0]))
+    sa = init[cand0][order].tolist()
+    si = (cand0[order] + 1).tolist()
+    sp, sn = 0, len(sa)
+    heap: list = []
     push, pop = heapq.heappush, heapq.heappop
     last = n - 1
-    while heap:
-        a, i = pop(heap)
+    while True:
+        if sp < sn:
+            if heap:
+                h0 = heap[0]
+                sae = sa[sp]
+                if h0[0] < sae or (h0[0] == sae and h0[1] < si[sp]):
+                    a, i = pop(heap)
+                else:
+                    a = sae
+                    i = si[sp]
+                    sp += 1
+            else:
+                a = sa[sp]
+                i = si[sp]
+                sp += 1
+        elif heap:
+            a, i = pop(heap)
+        else:
+            break
         ca = cur[i]
         if ca != a:
             if ca != dead and ca <= bound:
