@@ -243,3 +243,30 @@ def test_textprofile_is_single_projection(spark):
     plan = _plan(q)
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_catalog_verify_plan_shape(spark):
+    """The consolidated catalog sweep must keep the explicit
+    repartition fan-out (AQE would coalesce the tiny rows onto one core
+    and serialize ~21 kernel runs per doc) and aggregate per-batch
+    partials — the shuffle after the Python stage carries only
+    (method, n, ok) rows, one per entry per batch."""
+    import __spark_entry__ as e
+    from tersets_spark.operators.compress import catalog_verify
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ''), c -> ascii(c))"
+        ).alias("tokens"),
+        F.length("text").alias("n_tok"),
+    )
+    df = catalog_verify(toks, e._BOUND_CATALOG)
+    plan = _plan(df)
+    # explicit round-robin/hash repartition before the Python stage
+    assert "Exchange" in plan, plan
+    assert "FlatMapsInPandas" in plan or "MapInPandas" in plan, plan
+    # final agg over the partials (hash agg, no window / no cartesian)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
