@@ -22,29 +22,68 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _probe_sort(_i: int) -> float:
+    """One probe unit (module-level: ProcessPoolExecutor pickles it)."""
+    import numpy as np
+
+    x = np.random.default_rng(1).normal(0, 1, 3_000_000)
+    t0 = time.perf_counter()
+    np.sort(x)
+    return time.perf_counter() - t0
+
+
+def _parallel_probe(workers: int = 8) -> float:
+    """Multi-core throttle probe: `workers` forked processes each sort
+    3e6 floats concurrently (big enough that fork+IPC overhead is noise); returns wall/single ratio (~1.0-2.5 with free
+    cores, >>3 when the hypervisor's MANY-core credit pool is drained —
+    a state the single-core probe cannot see: measured 2026-08-17, the
+    single-core probe read 18.8 ms CALM while the same flagship ran 2x
+    its calm-host time because the 32-core budget was spent)."""
+    import concurrent.futures as cf
+
+    t_single = _probe_sort(0)
+    t0 = time.perf_counter()
+    with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_probe_sort, range(workers)))
+    wall = time.perf_counter() - t0
+    # subtract nothing for pool startup — it inflates the ratio by a
+    # constant ~0.3 on this host, covered by the gate's slack
+    return wall / max(t_single, 1e-6)
+
+
 def _wait_for_calm_host(max_wait_s: int) -> float:
     """CPU-credit throttle guard (CLAUDE.md): this sandbox's hypervisor
     slows sustained many-core load up to 8x for minutes at a time, and
     the budget refills while idle — measured on 2026-08-16: the same
     flagship job took 21-23 s inside a throttle window and 4.5 s after
-    six idle minutes. A single-core probe (np.sort of 1e6 float64,
-    best of 3: ~15-25 ms calm on this host, 60-300 ms throttled) gates
-    the timed region; while it reads throttled, sleep in bounded steps
-    so the artifact records the ENGINE's speed, not the hypervisor's
-    credit state. Returns the final probe seconds (recorded in the
-    output's detail for transparency)."""
+    six idle minutes. TWO probes gate the timed region: a single-core
+    probe (np.sort of 1e6 float64, best of 3: ~15-25 ms calm on this
+    host, 60-300 ms throttled) AND a multi-core probe (8 concurrent
+    sorts; wall/single <= 4 with free cores) — the many-core credit
+    pool can be drained while single-core reads calm. While either
+    reads throttled, sleep in bounded steps so the artifact records the
+    ENGINE's speed, not the hypervisor's credit state. Returns the
+    final single-core probe seconds (recorded in the output's detail
+    for transparency, alongside the parallel ratio)."""
     import numpy as np
 
     x = np.random.default_rng(0).normal(0, 1, 1_000_000)
     waited = 0
+    par = -1.0
     while True:
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
             np.sort(x.copy())
             best = min(best, time.perf_counter() - t0)
-        if best < 0.040 or waited >= max_wait_s:
-            return best
+        if waited >= max_wait_s:
+            return best, par
+        if best < 0.040:
+            if max_wait_s < 90:
+                return best, par
+            par = min(_parallel_probe(), _parallel_probe())
+            if par <= 4.0:
+                return best, par
         time.sleep(90)
         waited += 90
 
@@ -102,7 +141,9 @@ def main() -> None:
         return wall, agg, n_roll
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
-    probe_s = _wait_for_calm_host(int(os.environ.get("SPARK_GRAFT_CALM_WAIT", "360")))
+    probe_s, par_ratio = _wait_for_calm_host(
+        int(os.environ.get("SPARK_GRAFT_CALM_WAIT", "360"))
+    )
     runs = [run_flagship() for _ in range(repeats)]
     flagship_sec, agg, n_roll = min(runs, key=lambda r: r[0])
     toks.unpersist()  # executor storage back to the secondary queries
@@ -127,6 +168,7 @@ def main() -> None:
                 "rollup_rows": int(n_roll),
                 "cpus": cpus,
                 "calm_probe_ms": round(probe_s * 1000, 1),
+                "par_probe_ratio": round(par_ratio, 2),
             },
         }
         spark.stop()
@@ -195,6 +237,7 @@ def main() -> None:
             "rollup_rows": int(n_roll),
             "cpus": cpus,
             "calm_probe_ms": round(probe_s * 1000, 1),
+                "par_probe_ratio": round(par_ratio, 2),
             # self-describing artifact (round-3 verdict #5): per-query
             # config overrides + pass counts, so a number is never
             # silently a config change
