@@ -59,7 +59,13 @@ def _wait_for_calm_host(max_wait_s: int) -> float:
     six idle minutes. TWO probes gate the timed region: a single-core
     probe (np.sort of 1e6 float64, best of 3: ~15-25 ms calm on this
     host, 60-300 ms throttled) AND a multi-core probe (8 concurrent
-    sorts; wall/single <= 4 with free cores) — the many-core credit
+    sorts; wall/single <= 6 — this host's stable floor measured
+    4.3-4.6 on 2026-08-17 even after 15 idle minutes, so the gate only
+    trips on clearly-degraded transients (>= 4.75-10.25 observed);
+    NOTE the host's session-to-session BASELINE also drifts (the same
+    flagship bytes ran 4.46 s on 2026-08-16 and 7.9 s calm-and-idle on
+    2026-08-17) — cross-round artifact comparisons must read
+    detail.par_probe_ratio AND tolerate baseline shifts) — the many-core credit
     pool can be drained while single-core reads calm. While either
     reads throttled, sleep in bounded steps so the artifact records the
     ENGINE's speed, not the hypervisor's credit state. Returns the
@@ -82,7 +88,7 @@ def _wait_for_calm_host(max_wait_s: int) -> float:
             if max_wait_s < 90:
                 return best, par
             par = min(_parallel_probe(), _parallel_probe())
-            if par <= 4.0:
+            if par <= 6.0:
                 return best, par
         time.sleep(90)
         waited += 90
