@@ -146,7 +146,11 @@ def main() -> None:
         n_roll = sum(res[g]["rows"] for g in (0, 1, 3) if g in res)
         return wall, agg, n_roll
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    # best-of-3: the host's per-run variance reached 2-4x on identical
+    # bytes (2026-08-17: 3.2-12.2 s for the same flagship back-to-back);
+    # three repeats give the min a fighting chance of landing in a sane
+    # window at ~8 s/repeat cost
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     probe_s, par_ratio = _wait_for_calm_host(
         int(os.environ.get("SPARK_GRAFT_CALM_WAIT", "360"))
     )
