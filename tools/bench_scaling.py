@@ -51,6 +51,9 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         # as a real table scan would give)
         SPARK_GRAFT_BENCH_PARTITIONS="256",
     )
+    # bound the per-level calm-gate sleep so a 2-pair run stays inside
+    # a predictable window (callers can still override via env)
+    env.setdefault("SPARK_GRAFT_CALM_WAIT", "180")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
