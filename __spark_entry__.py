@@ -1194,8 +1194,19 @@ def _lsh_ann_oracle(
 
 
 def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (approximate by design — rows-only; the recall
-    gate below is the hard check)."""
+    """IVF ANN top-k, HARD oracle (round-4 verdict #1 — the last
+    rows-only row): ``_kmeans`` is SQL-exact (RNG-free stratified init,
+    every reduction a strictly-sequential left fold), so the DuckDB
+    oracle TRAINS THE SAME CENTROID MATRIX bit-for-bit from the
+    ``embeddings`` view via chained k-means CTEs, then replays cell
+    assignment (argmax-dot, ties to the higher cell like Spark's
+    ``array_max`` on (d, c) structs), the nprobe probe set, the cell
+    equi-join, and the (cosine DESC, neighbor_id ASC) rank — identical
+    fold order end-to-end, the ``lsh_ann_topk`` discipline extended
+    through the trained index. Self-contained at any sf (the oracle
+    reads the same view). Valid while the corpus stays under
+    ``cell_cap`` (no hot cells at test scale — the re-split path is
+    exercised and gated separately by ``ivf_index_stats``)."""
     _prep(spark)
     from tersets_spark.operators.similarity import ivf_topk, train_centroids
 
@@ -1207,6 +1218,99 @@ def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, cents, k=5, nprobe=8).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+def _ivf_ann_oracle(
+    n_cells: int = 32, sample_size: int = 4096, iters: int = 10,
+    dim: int = 64, nprobe: int = 8, k: int = 5, max_query_id: int = 20,
+    sub: int = 64,
+) -> str:
+    """DuckDB replica of ``_ivf_topk_query`` INCLUDING the k-means
+    training: cent0 = stratified init rows (X[j*n//k], matching
+    ``_kmeans``), then ``iters`` chained (assign -> mean -> renormalize)
+    CTEs whose every float reduction is the same 0.0-seeded sequential
+    left fold the Python side computes with cumsum. Training ties break
+    to the LOWER cell (numpy argmax = first max); query-time assignment
+    ties break to the HIGHER cell (Spark array_max on (d, c) structs) —
+    both replicated. ``sub`` is the re-split id stride (cells carry id
+    j*sub; no hot cells at test scale)."""
+
+    def fold(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    parts = [f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), samp0 AS (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {sample_size})
+    ), samp AS MATERIALIZED (
+        SELECT vec_id, rn,
+               list_transform(v, e -> e / greatest(sqrt({fold('v', 'v')}), 1e-30)) AS x
+        FROM samp0
+    ), kk AS (
+        SELECT least({n_cells}, count(*)) AS k, count(*) AS n FROM samp
+    ), cent0 AS (
+        SELECT jt.j AS cell, s.x AS c
+        FROM generate_series(0, {n_cells - 1}) AS jt(j)
+        CROSS JOIN kk
+        JOIN samp s ON s.rn = CAST(floor(jt.j * kk.n * 1.0 / kk.k) AS BIGINT) + 1
+        WHERE jt.j < kk.k
+    )"""]
+    for t in range(1, iters + 1):
+        parts.append(f""", asg{t} AS MATERIALIZED (
+        SELECT vec_id, x, cell FROM (
+            SELECT s.vec_id, s.x, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY {fold('s.x', 'c.c')} DESC, c.cell ASC) AS rnk
+            FROM samp s CROSS JOIN cent{t - 1} c
+        ) WHERE rnk = 1
+    ), mu{t} AS MATERIALIZED (
+        SELECT cell, list_transform(generate_series(1, {dim}),
+                   i -> list_reduce(list_prepend(0.0, list_transform(xs, r -> r[i])),
+                                    (a, b) -> a + b) / cnt) AS m
+        FROM (SELECT cell, list(x ORDER BY vec_id) AS xs, count(*) AS cnt
+              FROM asg{t} GROUP BY cell)
+    ), cent{t} AS MATERIALIZED (
+        SELECT cell, list_transform(mv, e -> e / greatest(sqrt({fold('mv', 'mv')}), 1e-30)) AS c
+        FROM (SELECT p.cell, coalesce(m.m, p.c) AS mv
+              FROM cent{t - 1} p LEFT JOIN mu{t} m USING (cell))
+    )""")
+    parts.append(f""", cents AS MATERIALIZED (
+        SELECT cell * {sub} AS cell, c FROM cent{iters}
+    ), corp AS MATERIALIZED (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {fold('e.v', 'c.c')} DESC, c.cell DESC) AS rnk
+            FROM emb e CROSS JOIN cents c
+        ) WHERE rnk = 1
+    ), qprobe AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {fold('e.v', 'c.c')} DESC, c.cell DESC) AS rnk
+            FROM emb e CROSS JOIN cents c
+            WHERE e.vec_id < {max_query_id}
+        ) WHERE rnk <= {nprobe}
+    ), scored AS (
+        SELECT q.query_id, t.neighbor_id,
+               {fold('q.qv', 't.cv')}
+                 / (sqrt({fold('q.qv', 'q.qv')}) * sqrt({fold('t.cv', 't.cv')})) AS cosine
+        FROM qprobe q JOIN corp t
+          ON q.cell = t.cell AND q.query_id != t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {k}""")
+    return "".join(parts)
 
 
 def _ivf_index_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,8 +1359,9 @@ _IVF_INDEX_STATS_ORACLE = """
 def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated mean recall@5 floor for the IVF ANN scale path vs
     the exact brute-force top-k (the quality gate the bound_* queries
-    provide for the lossy codecs). Measured at sf0.01: mean recall 0.68
-    at ~24% scan fraction (vs 0.09 for 8-plane hyperplane LSH)."""
+    provide for the lossy codecs). Measured with the SQL-exact k-means
+    (stratified init): mean recall 0.64 at sf0.01 AND sf0.1 at ~24% scan
+    fraction (vs 0.09 for 8-plane hyperplane LSH)."""
     _prep(spark)
     from tersets_spark.operators.similarity import ivf_mean_recall, train_centroids
 
@@ -1895,7 +2000,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_rollup_parity": _STREAM_ROLLUP_PARITY_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "ivf_index_stats": _IVF_INDEX_STATS_ORACLE,
-        # ivf_ann_topk: approximate-by-design AND centroid-dependent
-        # (k-means on a driver sample has no SQL analog) -> rows-only
-        # check; its quality is gated by the oracle-green ivf_ann_recall
+        # ivf_ann_topk: _kmeans is SQL-exact (sequential folds, RNG-free
+        # init), so DuckDB trains the identical centroids and replays
+        # the whole pipeline — the last rows-only row is now hard
+        "ivf_ann_topk": _ivf_ann_oracle(),
     }

@@ -183,35 +183,57 @@ def train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_size: int = 4096,
-    seed: int = 42,
     iters: int = 10,
 ) -> np.ndarray:
     """Spherical k-means centroids from a DETERMINISTIC sample
     (orderBy(id).limit(n) — same centroids on every run/retry). One
     bounded driver action: sampling centroid training data is how IVF
     indexes are built at any scale (the index quality depends on the
-    sample's coverage, not the corpus size)."""
+    sample's coverage, not the corpus size).
+
+    The training is **SQL-exact** (see :func:`_kmeans`): a DuckDB oracle
+    can replay it bit-for-bit from the same table, which is what gives
+    ``ivf_ann_topk`` a hard end-to-end oracle."""
     rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
     X = np.array([r[1] for r in rows], dtype=np.float64)
-    return _kmeans(X, n_cells, seed, iters)
+    return _kmeans(X, n_cells, iters)
 
 
-def _kmeans(X: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+def _seq_norm(X: np.ndarray) -> np.ndarray:
+    """Row norms via a strictly SEQUENTIAL left-fold sum of squares
+    (np.cumsum is a running sum — no pairwise/BLAS reassociation), so a
+    SQL ``list_reduce`` fold reproduces the same doubles bit-for-bit."""
+    return np.sqrt(np.cumsum(X * X, axis=-1)[..., -1:])
+
+
+def _kmeans(X: np.ndarray, n_cells: int, iters: int = 10) -> np.ndarray:
     """Deterministic spherical k-means on a driver-side sample — shared
-    by top-level centroid training and hot-cell re-splitting."""
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-    rng = np.random.default_rng(seed)
-    k = min(n_cells, len(X))
-    C = X[rng.choice(len(X), k, replace=False)].copy()
+    by top-level centroid training and hot-cell re-splitting.
+
+    Every float reduction is a strictly sequential left fold (cumsum)
+    and the init is RNG-free (rows stratified by sorted position:
+    ``C[j] = X[j*n//k]``), so the whole training is replayable in ANSI
+    SQL with ``list_reduce`` folds — DuckDB trains the *same centroid
+    matrix* from the same table and the driver's ``ivf_ann_topk`` row
+    gets a hard value-hash oracle instead of a rows-only check. numpy's
+    pairwise sums / BLAS dots would NOT replay (different association
+    order); cumsum keeps the vectorized speed without them."""
+    X = X / np.maximum(_seq_norm(X), 1e-30)
+    n = len(X)
+    k = min(n_cells, n)
+    C = X[(np.arange(k) * n) // k].copy()
     for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
+        # (n, k) dots, each a sequential fold over the dim axis
+        dots = np.cumsum(X[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+        assign = np.argmax(dots, axis=1)  # ties -> lowest cell
         for j in range(k):
             members = X[assign == j]
             if len(members):
-                C[j] = members.mean(axis=0)
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+                # sequential fold down the member rows (vec_id order)
+                C[j] = np.cumsum(members, axis=0)[-1] / len(members)
+        C = C / np.maximum(_seq_norm(C), 1e-30)
     return C
 
 
@@ -273,7 +295,6 @@ def build_ivf_index(
     id_col: str = "vec_id",
     cell_cap: int | None = 65536,
     sample_size: int = 4096,
-    seed: int = 42,
 ) -> IvfIndex:
     """Assign every corpus row to a cell, RE-SPLITTING hot cells instead
     of dropping them: a cell with more than ``cell_cap`` rows gets
@@ -288,8 +309,14 @@ def build_ivf_index(
     reports them (the repo's no-silent-caps discipline; 0 in every
     observed configuration).
 
-    Driver actions are bounded: one n_cells-row count collect plus one
-    ``sample_size``-row sample collect per hot cell."""
+    Driver actions are bounded and COUNT-INDEPENDENT of n_hot (round-4
+    verdict #4): one n_cells-row count collect, then ONE job that
+    gathers the per-cell samples for every hot cell at once (per-batch
+    local prune keeps the shuffle at <= n_partitions * sample_size rows
+    per hot cell, and the per-cell window never sees a whole hot cell).
+    Sub-cell re-assignment joins a BROADCAST (cell -> sub-centroids)
+    table instead of inlining every sub-centroid as plan literals, so
+    plan size stays constant no matter how many cells re-split."""
     dots = _cell_dots(vec_col, centroids)
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -310,24 +337,78 @@ def build_ivf_index(
     hot = {c: n for c, n in counts.items() if n > cell_cap}
     stats["n_hot"] = len(hot)
     subs: dict[int, np.ndarray] = {}
-    for h, n in sorted(hot.items()):
-        sample_rows = (
-            base.filter(F.col("cell") == h)
-            .select("neighbor_id", "_cv")
-            .orderBy("neighbor_id")
-            .limit(sample_size)
-            .collect()
+    if hot:
+        spark = corpus.sparkSession
+        hot_df = spark.createDataFrame(
+            [(int(c),) for c in sorted(hot)], "cell long"
         )
-        X = np.array([r["_cv"] for r in sample_rows], dtype=np.float64)
-        # 2x the minimum split -> target occupancy cell_cap/2, so the
-        # index tolerates 2x k-means imbalance before any residual drop
-        k_sub = min(_SUB - 1, 2 * int(np.ceil(n / cell_cap)))
-        subs[h] = _kmeans(X, k_sub, seed=seed + h)
-    fcell = F.col("cell").cast("long") * _SUB
-    for h, C in subs.items():
-        sub_pick = F.array_max(_cell_dots("_cv", C))["c"].cast("long")
-        fcell = F.when(F.col("cell") == h, F.lit(h * _SUB + 1) + sub_pick).otherwise(fcell)
-    assigned = base.withColumn("cell", fcell)
+        ss = int(sample_size)
+
+        def _local_prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # partition-local smallest-ss per cell: the global smallest-ss
+            # of the union of per-batch smallest-ss IS the global
+            # smallest-ss, so the window below shuffles <= n_batches * ss
+            # rows per hot cell instead of the whole hot cell
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.sort_values("neighbor_id", kind="mergesort")
+                        .groupby("cell", sort=False)
+                        .head(ss)
+                    )
+
+        hot_rows = base.join(F.broadcast(hot_df), "cell", "left_semi")
+        w_cell = Window.partitionBy("cell").orderBy("neighbor_id")
+        sample_rows = (
+            hot_rows.mapInPandas(_local_prune, schema=hot_rows.schema)
+            .withColumn("rn", F.row_number().over(w_cell))
+            .filter(F.col("rn") <= ss)
+            .select("cell", "neighbor_id", "_cv")
+            .collect()
+        )  # ONE job gathers every hot cell's sample
+        by_cell: dict[int, list] = {}
+        for r in sorted(sample_rows, key=lambda r: (r["cell"], r["neighbor_id"])):
+            by_cell.setdefault(int(r["cell"]), []).append(r["_cv"])
+        for h in sorted(hot):
+            X = np.array(by_cell[h], dtype=np.float64)
+            # 2x the minimum split -> target occupancy cell_cap/2, so the
+            # index tolerates 2x k-means imbalance before any residual drop
+            k_sub = min(_SUB - 1, 2 * int(np.ceil(hot[h] / cell_cap)))
+            subs[h] = _kmeans(X, k_sub)
+    if subs:
+        # broadcast (cell -> sub-centroid list) table; constant plan size
+        sub_rows = [
+            (
+                int(h),
+                [
+                    (int(h * _SUB + 1 + s), [float(x) for x in subs[h][s]])
+                    for s in range(len(subs[h]))
+                ],
+            )
+            for h in sorted(subs)
+        ]
+        subs_df = corpus.sparkSession.createDataFrame(
+            sub_rows, "cell int, _subs array<struct<sc: bigint, sv: array<double>>>"
+        )
+        sub_pick = F.array_max(
+            F.transform(
+                F.col("_subs"),
+                lambda s: F.struct(
+                    _dot(F.col("_cv"), s["sv"]).alias("d"), s["sc"].alias("c")
+                ),
+            )
+        )["c"]
+        assigned = (
+            base.join(F.broadcast(subs_df), "cell", "left")
+            .withColumn(
+                "cell",
+                F.when(F.col("_subs").isNull(), F.col("cell").cast("long") * _SUB)
+                .otherwise(sub_pick),
+            )
+            .drop("_subs")
+        )
+    else:
+        assigned = base.withColumn("cell", F.col("cell").cast("long") * _SUB)
     eff_list, eff_id_list = [], []
     for j in range(len(centroids)):
         if j in subs:
@@ -395,11 +476,13 @@ def ivf_topk(
     semi-join, the cap bounding the damage without retraining).
 
     Pass a pre-built ``index`` (see :func:`build_ivf_index`) to amortize
-    the index build across calls AND to own the cache lifetime; when the
-    index is built internally the caller should clear it with
-    ``spark.catalog.clearCache()`` after materializing the result (the
-    persisted assignment is the in-session stand-in for the IVF index
-    TABLE a 100-TB deployment would materialize between build and
+    the index build across calls AND to own the cache lifetime. When the
+    index is built internally it is UNPERSISTED before returning (so
+    repeat callers never accumulate cached assignments — the returned
+    plan lazily recomputes the assignment once); callers who want the
+    build amortized across queries should build the index themselves
+    (the persisted assignment is the in-session stand-in for the IVF
+    index TABLE a 100-TB deployment would materialize between build and
     query)."""
     if index is None:
         index = build_ivf_index(
@@ -409,19 +492,31 @@ def ivf_topk(
         if not resplit and cell_cap is not None:
             # legacy guard: map-side n_cells-row count + broadcast
             # semi-join (a count window would funnel the corpus through
-            # n_cells reducers); over-cap cells DROP — callers get the
-            # count via build_ivf_index().stats instead of silence
+            # n_cells reducers); over-cap cells DROP — counted into
+            # index.stats below so the drop is never silent
+            cell_counts = index.assigned.groupBy("cell").count()
+            over = (
+                cell_counts.filter(F.col("count") > cell_cap)
+                .agg(
+                    F.count("*").cast("long").alias("cells"),
+                    F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("rows"),
+                )
+                .first()
+            )
+            index.stats["dropped_cells"] = int(over["cells"])
+            index.stats["dropped_rows"] = int(over["rows"])
             ok_cells = (
-                index.assigned.groupBy("cell")
-                .count()
-                .filter(F.col("count") <= cell_cap)
-                .select("cell")
+                cell_counts.filter(F.col("count") <= cell_cap).select("cell")
             )
             index = IvfIndex(
                 index.assigned.join(F.broadcast(ok_cells), "cell", "left_semi"),
                 index.centroids, index.cell_ids, index.stats,
                 cached=index._cached,
             )
+        # internally-built index: release the build-time cache now; the
+        # returned DataFrame recomputes the assignment lazily (one extra
+        # pass) instead of leaking a persisted DF per call (ADVICE r4)
+        index.unpersist()
     c = index.assigned
     qdots = _cell_dots(vec_col, index.centroids, ids=list(index.cell_ids))
     probes = F.transform(
