@@ -51,7 +51,12 @@ def _parallel_probe(workers: int = 8) -> float:
     return wall / max(t_single, 1e-6)
 
 
-def _wait_for_calm_host(max_wait_s: int) -> float:
+#: parallel wall/single gate — this host's stable calm floor measured
+#: 4.3-4.6 on 2026-08-17; throttled transients read >= 7-10
+_PAR_GATE = 6.0
+
+
+def _wait_for_calm_host(max_wait_s: int) -> "tuple[float, float]":
     """CPU-credit throttle guard (CLAUDE.md): this sandbox's hypervisor
     slows sustained many-core load up to 8x for minutes at a time, and
     the budget refills while idle — measured on 2026-08-16: the same
@@ -59,37 +64,38 @@ def _wait_for_calm_host(max_wait_s: int) -> float:
     six idle minutes. TWO probes gate the timed region: a single-core
     probe (np.sort of 1e6 float64, best of 3: ~15-25 ms calm on this
     host, 60-300 ms throttled) AND a multi-core probe (8 concurrent
-    sorts; wall/single <= 6 — this host's stable floor measured
-    4.3-4.6 on 2026-08-17 even after 15 idle minutes, so the gate only
-    trips on clearly-degraded transients (>= 4.75-10.25 observed);
-    NOTE the host's session-to-session BASELINE also drifts (the same
-    flagship bytes ran 4.46 s on 2026-08-16 and 7.9 s calm-and-idle on
-    2026-08-17) — cross-round artifact comparisons must read
-    detail.par_probe_ratio AND tolerate baseline shifts) — the many-core credit
-    pool can be drained while single-core reads calm. While either
-    reads throttled, sleep in bounded steps so the artifact records the
-    ENGINE's speed, not the hypervisor's credit state. Returns the
-    final single-core probe seconds (recorded in the output's detail
-    for transparency, alongside the parallel ratio)."""
+    sorts; wall/single <= _PAR_GATE) — the many-core credit pool can be
+    drained while single-core reads calm. NOTE the host's
+    session-to-session BASELINE also drifts (the same flagship bytes
+    ran 4.46 s on 2026-08-16 and 7.9 s calm-and-idle on 2026-08-17) —
+    cross-round artifact comparisons must read the probe ratios AND
+    tolerate baseline shifts. While either probe reads throttled, sleep
+    in bounded steps so the artifact records the ENGINE's speed, not
+    the hypervisor's credit state.
+
+    Returns (single-core probe seconds, parallel wall/single ratio). A
+    REAL parallel ratio is always returned — including when the wait
+    budget is zero or exhausted — so the artifact never carries a
+    sentinel where it claims to record many-core host state (r4
+    ADVICE)."""
     import numpy as np
 
     x = np.random.default_rng(0).normal(0, 1, 1_000_000)
     waited = 0
-    par = -1.0
     while True:
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
             np.sort(x.copy())
             best = min(best, time.perf_counter() - t0)
-        if waited >= max_wait_s:
-            return best, par
         if best < 0.040:
-            if max_wait_s < 90:
+            par = _parallel_probe()
+            if par > _PAR_GATE and waited < max_wait_s:
+                par = min(par, _parallel_probe())  # one retry: transient?
+            if par <= _PAR_GATE or waited >= max_wait_s:
                 return best, par
-            par = min(_parallel_probe(), _parallel_probe())
-            if par <= 6.0:
-                return best, par
+        elif waited >= max_wait_s:
+            return best, _parallel_probe()
         time.sleep(90)
         waited += 90
 
@@ -146,16 +152,30 @@ def main() -> None:
         n_roll = sum(res[g]["rows"] for g in (0, 1, 3) if g in res)
         return wall, agg, n_roll
 
-    # best-of-3: the host's per-run variance reached 2-4x on identical
-    # bytes (2026-08-17: 3.2-12.2 s for the same flagship back-to-back);
-    # three repeats give the min a fighting chance of landing in a sane
-    # window at ~8 s/repeat cost
+    # best-of-3 WITH a probe before each repeat (r4 verdict #7: a
+    # single pre-gate let a 2-4x swing through): the host's per-run
+    # variance reached 2-4x on identical bytes (2026-08-17: 3.2-12.2 s
+    # back-to-back); the reported flagship is the min over repeats
+    # whose probe passed the gate, so a throttle window opening
+    # mid-repeats can't be mistaken for engine speed
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
-    probe_s, par_ratio = _wait_for_calm_host(
-        int(os.environ.get("SPARK_GRAFT_CALM_WAIT", "360"))
-    )
-    runs = [run_flagship() for _ in range(repeats)]
-    flagship_sec, agg, n_roll = min(runs, key=lambda r: r[0])
+    calm_wait = int(os.environ.get("SPARK_GRAFT_CALM_WAIT", "360"))
+    probe_s, par_ratio = _wait_for_calm_host(calm_wait)
+    runs = []
+    flag_probes = []
+    for i in range(repeats):
+        if i == 0:
+            par_i = par_ratio
+        elif calm_wait > 0:
+            # official mode: the previous repeat drained credits — wait
+            # (bounded) for the pool to refill so this repeat counts
+            _, par_i = _wait_for_calm_host(min(calm_wait, 180))
+        else:
+            par_i = _parallel_probe()
+        flag_probes.append(round(par_i, 2))
+        runs.append((run_flagship(), par_i))
+    calm_runs = [r for r, p in runs if p <= _PAR_GATE] or [r for r, _ in runs]
+    flagship_sec, agg, n_roll = min(calm_runs, key=lambda r: r[0])
     toks.unpersist()  # executor storage back to the secondary queries
     timings["flagship_compress_rollup"] = round(flagship_sec, 3)
     if not agg["ok"]:
@@ -179,6 +199,8 @@ def main() -> None:
                 "cpus": cpus,
                 "calm_probe_ms": round(probe_s * 1000, 1),
                 "par_probe_ratio": round(par_ratio, 2),
+                "flagship_probe_ratios": flag_probes,
+                "probe_gate": _PAR_GATE,
             },
         }
         spark.stop()
@@ -213,26 +235,82 @@ def main() -> None:
         sp, d, n_hashes=16, bands=4
     )
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    _wait_for_calm_host(120)  # the flagship repeats burn credits too
-    for _ in range(passes):
-        for name, fn in secondary.items():
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            timings[name] = round(min(timings.get(name, dt), dt), 3)
-            if name in ("minhash_jaccard_dups", "ivf_ann_topk"):
-                # these pipelines persist internal state (candidate set /
-                # IVF index) per call — drop stale caches so the next
-                # pass isn't measured under this one's storage pressure
-                spark.catalog.clearCache()
+    _CACHEY = ("minhash_jaccard_dups", "ivf_ann_topk")
+
+    def run_one(name: str) -> float:
+        t0 = time.time()
+        secondary[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        if name in _CACHEY:
+            # these pipelines persist internal state (candidate set /
+            # IVF index) per call — drop stale caches so the next run
+            # isn't measured under this one's storage pressure
+            spark.catalog.clearCache()
+        return dt
+
+    # per-PASS host probes (r4 verdict #2: the single pre-interleave
+    # gate missed a throttle window opening mid-interleave, corrupting
+    # BOTH passes of a query so min() couldn't save it)
+    _, par2 = _wait_for_calm_host(min(calm_wait, 120))
+    pass_probes = []
+    per_pass: dict[str, list[tuple[float, float]]] = {n: [] for n in secondary}
+    for p in range(passes):
+        if p == 0:
+            par_p = par2
+        elif calm_wait > 0:
+            _, par_p = _wait_for_calm_host(min(calm_wait, 120))
+        else:
+            par_p = _parallel_probe()
+        pass_probes.append(round(par_p, 2))
+        for name in secondary:
+            per_pass[name].append((run_one(name), par_p))
+
+    # consistency repair: re-run (behind a fresh calm gate) any query
+    # whose passes disagree >3x or whose best pass ran at a failed
+    # probe — so no reported best was taken inside a throttle window
+    reruns: dict[str, object] = {}
+    for name in secondary:
+        ts = [t for t, _ in per_pass[name]]
+        best_t, best_par = min(per_pass[name], key=lambda r: r[0])
+        spread = len(ts) > 1 and max(ts) > 3.0 * min(ts)
+        if (spread or best_par > _PAR_GATE) and calm_wait > 0:
+            _, rpar = _wait_for_calm_host(180)
+            rdt = run_one(name)
+            per_pass[name].append((rdt, rpar))
+            reruns[name] = {
+                "reason": "pass spread >3x" if spread else "best at failed probe",
+                "sec": round(rdt, 3),
+                "probe": round(rpar, 2),
+            }
+        timings[name] = round(min(t for t, _ in per_pass[name]), 3)
 
     # cross-round comparability anchor: ONE timing of minhash at the
     # correctness config (64 hashes / 16 bands — what the sf0.01 oracle
     # checks), so round-over-round deltas aren't config changes
+    par_anchor = _parallel_probe()
     t0 = time.time()
     entrymod.minhash_pairs(spark, sf_dir, n_hashes=64, bands=16).count()
     timings["minhash_jaccard_64x16"] = round(time.time() - t0, 3)
     spark.catalog.clearCache()
+    # internal consistency: the lighter 16/4 config must not read
+    # slower than its heavier 64x16 anchor (the r4 artifact's
+    # self-contradiction); one gated re-measure of both if it does
+    if calm_wait > 0 and timings["minhash_jaccard_dups"] > timings["minhash_jaccard_64x16"]:
+        _, rpar = _wait_for_calm_host(180)
+        rdt = run_one("minhash_jaccard_dups")
+        timings["minhash_jaccard_dups"] = round(
+            min(timings["minhash_jaccard_dups"], rdt), 3
+        )
+        t0 = time.time()
+        entrymod.minhash_pairs(spark, sf_dir, n_hashes=64, bands=16).count()
+        timings["minhash_jaccard_64x16"] = round(
+            min(timings["minhash_jaccard_64x16"], time.time() - t0), 3
+        )
+        spark.catalog.clearCache()
+        reruns["minhash_anchor_consistency"] = {
+            "reason": "16/4 slower than 64x16 anchor",
+            "probe": round(rpar, 2),
+        }
 
     out = {
         "metric": "tokens_per_sec",
@@ -247,7 +325,14 @@ def main() -> None:
             "rollup_rows": int(n_roll),
             "cpus": cpus,
             "calm_probe_ms": round(probe_s * 1000, 1),
-                "par_probe_ratio": round(par_ratio, 2),
+            "par_probe_ratio": round(par_ratio, 2),
+            # per-run host-state evidence (r4 verdict #2/#7): every
+            # timed region carries the parallel probe that preceded it
+            "flagship_probe_ratios": flag_probes,
+            "pass_probe_ratios": pass_probes,
+            "anchor_probe_ratio": round(par_anchor, 2),
+            "probe_gate": _PAR_GATE,
+            "reruns": reruns,
             # self-describing artifact (round-3 verdict #5): per-query
             # config overrides + pass counts, so a number is never
             # silently a config change

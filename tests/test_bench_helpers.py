@@ -14,10 +14,13 @@ sys.path.insert(0, "/root/repo")
 import bench
 
 
-def test_calm_gate_skip_returns_probe_and_ratio():
+def test_calm_gate_skip_returns_probe_and_real_ratio():
     probe_s, par = bench._wait_for_calm_host(0)
     assert 0 < probe_s < 10  # seconds for a 1e6 sort, any host state
-    assert par == -1.0  # parallel probe skipped under CALM_WAIT=0
+    # r4 ADVICE: even with a zero wait budget the parallel probe must
+    # RUN — the artifact never carries a -1.0 sentinel where it claims
+    # to record many-core host state
+    assert 0.1 < par < 1000
 
 
 def test_parallel_probe_returns_finite_ratio():
