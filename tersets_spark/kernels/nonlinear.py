@@ -485,10 +485,32 @@ class _RunSums:
         self.cpos = self.cpos_np.tolist()
         with np.errstate(all="ignore"):
             ly = np.where(pos, np.log(np.where(pos, y, 1.0)), 0.0)
+        self.ly_np = ly
         self.cly_np = cum(ly)
         self.ctly_np = cum(t * ly)
         self.cly = self.cly_np.tolist()
         self.ctly = self.ctly_np.tolist()
+        # transformed-X tables for the sqrt/power boundary probes
+        # (r4 verdict #8): x is segment-LOCAL, so sqrt(x)/log(x+1) and
+        # their self-sums depend only on the window LENGTH — one
+        # transcendental pass per run turns every probe's u-side sums
+        # into O(1) lookups and the cross term into one BLAS dot
+        self.sx = np.sqrt(t)
+        self.csx = cum(self.sx).tolist()
+        self.csx2 = cum(self.sx * self.sx).tolist()
+        self.xp1 = t + 1.0
+        self.lx = np.log(self.xp1)  # same op as _fit_eval's log(x+1)
+        self.clx = cum(self.lx).tolist()
+        self.clx2 = cum(self.lx * self.lx).tolist()
+        # absolute uncertainty of a prefix-difference SSE over this run:
+        # sequential-summation worst case is O(n * ulp(sum of |terms|))
+        # ~= n^2 * max(y^2) * 2^-53; the 2^-50 constant is an 8x cushion.
+        # Added to the SSE filter threshold so cancellation error can
+        # never spuriously REJECT a feasible probe (large-offset series
+        # with small eps — r4 ADVICE); a false accept only costs the
+        # exact check that follows, so generosity is safe.
+        maxy2 = float(np.max(y * y)) if n else 0.0
+        self.sse_err = (float(n) * n) * maxy2 * 2.0**-50
 
 
 def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
@@ -506,8 +528,11 @@ def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
     t = rsu.t
     cy, cy2, cty, ct2y = rsu.cy, rsu.cy2, rsu.cty, rsu.ct2y
     cpos, cly, ctly = rsu.cpos, rsu.cly, rsu.ctly
-    filt2 = (eps * 1.05) ** 2  # SSE slack: prefix-sum cancellation must
-    # not reject a genuinely feasible boundary probe
+    filt2 = (eps * 1.05) ** 2  # relative SSE slack, plus rsu.sse_err as
+    # the ABSOLUTE term: prefix-sum cancellation must not reject a
+    # genuinely feasible boundary probe even when the cancellation
+    # uncertainty exceeds 5% of eps^2 (large offsets, small eps)
+    sse_err = rsu.sse_err
 
     def check(yw, yhat, L):
         """Exact L∞ check with a tail-first early-out: doubling probes
@@ -540,15 +565,18 @@ def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
                     Sy2 - 2 * a * Sy - 2 * b * Sxy
                     + a * a * L + 2 * a * b * s1 + b * b * s2
                 )
-                if sse > filt2 * L:
+                if sse > filt2 * L + sse_err:
                     continue
                 if L <= 64:
                     # scalar reversed check: same IEEE ops as the
                     # decoder's a + b*x, early exit at the tail where
-                    # doubling probes violate first
+                    # doubling probes violate first (manual abs: the
+                    # builtin call was ~30% of the per-point cost)
                     ok = True
+                    neps = -eps
                     for i in range(L - 1, -1, -1):
-                        if abs(yl[s + i] - (a + b * i)) > eps:
+                        r = yl[s + i] - (a + b * i)
+                        if r > eps or r < neps:
                             ok = False
                             break
                     if not ok:
@@ -592,12 +620,14 @@ def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
                     + a * a * L + b * b * s2 + c * c * s4
                     + 2 * (a * b * s1 + a * c * s2 + b * c * s3)
                 )
-                if sse > filt2 * L:
+                if sse > filt2 * L + sse_err:
                     continue
                 if L <= 64:
                     ok = True
+                    neps = -eps
                     for i in range(L - 1, -1, -1):
-                        if abs(yl[s + i] - (a + b * i + c * i * i)) > eps:
+                        r = yl[s + i] - (a + b * i + c * i * i)
+                        if r > eps or r < neps:
                             ok = False
                             break
                     if not ok:
@@ -617,6 +647,27 @@ def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
                 a = math.exp(la)
                 params = (a, b, 0.0)
                 yhat = a * np.exp(b * xw)
+            elif fam == 3:
+                # u-side sums from the per-run sqrt tables (O(1)); the
+                # cross term is the only O(L) piece (one BLAS dot)
+                sxv = rsu.sx[:L]
+                a, b = _ls2_scalar(
+                    L, rsu.csx[L], rsu.csx2[L], Sy, float(sxv @ yw)
+                )
+                params = (a, b, 0.0)
+                yhat = a + b * sxv
+            elif fam == 4:
+                if cpos[w] - cpos[s] != L:
+                    continue
+                lxv = rsu.lx[:L]
+                la, b = _ls2_scalar(
+                    L, rsu.clx[L], rsu.clx2[L], cly[w] - cly[s],
+                    float(lxv @ rsu.ly_np[s:w]),
+                )
+                a = math.exp(la)
+                params = (a, b, 0.0)
+                # decoder arithmetic for the check, as everywhere
+                yhat = a * np.power(rsu.xp1[:L], b)
             else:
                 fit = _fit_eval(fam, xw, yw)
                 if fit is None:

@@ -177,9 +177,15 @@ def _bottom_up_run_ref(
     nxt = list(range(1, len(segs))) + [-1]
     prv = [-1] + list(range(len(segs) - 1))
     alive = [True] * len(segs)
-    cvl, cv2l, cvtl, ctl, ct2l, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl
+    cvl, cv2l, cvtl, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.vl
 
     def merge_cost(i: int) -> float:
+        # time-axis sums in CLOSED FORM (t is 0..n-1, so over [s, e]
+        # with d = e-s: sum(t-s) = d(d+1)/2, sum((t-s)^2) =
+        # d(d+1)(2d+1)/6 — exact in float64 for d < ~2e5, far above the
+        # 4096-point chunk bound) — trims 4 prefix lookups + 6 float
+        # ops from the per-merge hot path (round-4 verdict #6); the
+        # fast path below uses the identical grouping
         j = nxt[i]
         if j < 0:
             return np.inf
@@ -187,18 +193,14 @@ def _bottom_up_run_ref(
         e = segs[j][1]
         if e <= s:
             return 0.0
+        d = e - s
         vs = vls[s]
-        m = (vls[e] - vs) / (e - s)
-        n1 = e - s + 1
+        m = (vls[e] - vs) / d
+        n1 = d + 1
         Sv = cvl[e + 1] - cvl[s]
-        Sv2 = cv2l[e + 1] - cv2l[s]
-        Svt = cvtl[e + 1] - cvtl[s]
-        St = ctl[e + 1] - ctl[s]
-        St2 = ct2l[e + 1] - ct2l[s]
-        Syy = Sv2 - 2 * vs * Sv + n1 * vs * vs
-        Sxy = (Svt - s * Sv) - vs * (St - s * n1)
-        Sxx = St2 - 2 * s * St + n1 * s * s
-        sse = Syy - 2 * m * Sxy + m * m * Sxx
+        Syy = cv2l[e + 1] - cv2l[s] - 2 * vs * Sv + n1 * vs * vs
+        Sxy = cvtl[e + 1] - cvtl[s] - s * Sv - vs * (d * n1 / 2)
+        sse = Syy - 2 * m * Sxy + m * m * (d * n1 * (2 * d + 1) / 6)
         return sse / n1 if sse > 0 else 0.0
 
     heap = [(merge_cost(i), i, 0) for i in range(len(segs)) if nxt[i] >= 0]
@@ -254,17 +256,15 @@ def _bottom_up_run(
     s_np = np.arange(rs, re - 2, 2, dtype=np.int64)
     e_np = np.minimum(s_np + 3, last_end)
     vs = ps.v[s_np]
-    m = (ps.v[e_np] - vs) / (e_np - s_np)
-    n1 = e_np - s_np + 1
+    d = e_np - s_np
+    m = (ps.v[e_np] - vs) / d
+    n1 = d + 1
     Sv = ps.cv[e_np + 1] - ps.cv[s_np]
-    Sv2 = ps.cv2[e_np + 1] - ps.cv2[s_np]
-    Svt = ps.cvt[e_np + 1] - ps.cvt[s_np]
-    St = ps.ct[e_np + 1] - ps.ct[s_np]
-    St2 = ps.ct2[e_np + 1] - ps.ct2[s_np]
-    Syy = Sv2 - 2 * vs * Sv + n1 * vs * vs
-    Sxy = (Svt - s_np * Sv) - vs * (St - s_np * n1)
-    Sxx = St2 - 2 * s_np * St + n1 * s_np * s_np
-    sse = Syy - 2 * m * Sxy + m * m * Sxx
+    # closed-form time sums, same grouping as merge_cost (int64 stays
+    # exact; the /2 and /6 divisions land on exactly-representable ints)
+    Syy = ps.cv2[e_np + 1] - ps.cv2[s_np] - 2 * vs * Sv + n1 * vs * vs
+    Sxy = ps.cvt[e_np + 1] - ps.cvt[s_np] - s_np * Sv - vs * (d * n1 / 2)
+    sse = Syy - 2 * m * Sxy + m * m * (d * n1 * (2 * d + 1) / 6)
     init = np.where(sse > 0, sse / n1, 0.0)
 
     nxt = list(range(1, k)) + [-1]
@@ -284,7 +284,7 @@ def _bottom_up_run(
     sp, sn = 0, len(sa)
     heap: list = []
     push, pop = heapq.heappush, heapq.heappop
-    cvl, cv2l, cvtl, ctl, ct2l, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.ctl, ps.ct2l, ps.vl
+    cvl, cv2l, cvtl, vls = ps.cvl, ps.cv2l, ps.cvtl, ps.vl
 
     while True:
         if sp < sn:
@@ -328,16 +328,14 @@ def _bottom_up_run(
             else:
                 s = seg_start[i]
                 e = seg_end[nj]
+                d = e - s
                 vs = vls[s]
-                m = (vls[e] - vs) / (e - s)
-                n1 = e - s + 1
+                m = (vls[e] - vs) / d
+                n1 = d + 1
                 Sv = cvl[e + 1] - cvl[s]
                 Syy = cv2l[e + 1] - cv2l[s] - 2 * vs * Sv + n1 * vs * vs
-                Sxy = (cvtl[e + 1] - cvtl[s] - s * Sv) - vs * (
-                    ctl[e + 1] - ctl[s] - s * n1
-                )
-                Sxx = ct2l[e + 1] - ct2l[s] - 2 * s * (ctl[e + 1] - ctl[s]) + n1 * s * s
-                sse = Syy - 2 * m * Sxy + m * m * Sxx
+                Sxy = cvtl[e + 1] - cvtl[s] - s * Sv - vs * (d * n1 / 2)
+                sse = Syy - 2 * m * Sxy + m * m * (d * n1 * (2 * d + 1) / 6)
                 nci = sse / n1 if sse > 0 else 0.0
             if nci < a:
                 cand = (nci, i)
@@ -350,16 +348,14 @@ def _bottom_up_run(
             if p >= 0:
                 s = seg_start[p]
                 e = seg_end[i]
+                d = e - s
                 vs = vls[s]
-                m = (vls[e] - vs) / (e - s)
-                n1 = e - s + 1
+                m = (vls[e] - vs) / d
+                n1 = d + 1
                 Sv = cvl[e + 1] - cvl[s]
                 Syy = cv2l[e + 1] - cv2l[s] - 2 * vs * Sv + n1 * vs * vs
-                Sxy = (cvtl[e + 1] - cvtl[s] - s * Sv) - vs * (
-                    ctl[e + 1] - ctl[s] - s * n1
-                )
-                Sxx = ct2l[e + 1] - ct2l[s] - 2 * s * (ctl[e + 1] - ctl[s]) + n1 * s * s
-                sse = Syy - 2 * m * Sxy + m * m * Sxx
+                Sxy = cvtl[e + 1] - cvtl[s] - s * Sv - vs * (d * n1 / 2)
+                sse = Syy - 2 * m * Sxy + m * m * (d * n1 * (2 * d + 1) / 6)
                 ncp = sse / n1 if sse > 0 else 0.0
                 if ncp < a and (cand is None or (ncp, p) < cand):
                     if cand is not None:
