@@ -100,6 +100,20 @@ def _wait_for_calm_host(max_wait_s: int) -> "tuple[float, float]":
         waited += 90
 
 
+def _rerun_reason(runs: "list[tuple[float, float]]", gate: float = _PAR_GATE):
+    """Decide whether a query's timed (seconds, probe_ratio) passes need
+    a gated re-measure: >3x spread between passes means a throttle
+    window corrupted at least one, and a best taken at a failed probe
+    was measured inside one. Returns the reason string or None."""
+    ts = [t for t, _ in runs]
+    if len(ts) > 1 and max(ts) > 3.0 * min(ts):
+        return "pass spread >3x"
+    best_par = min(runs, key=lambda r: r[0])[1]
+    if best_par > gate:
+        return "best at failed probe"
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -270,15 +284,13 @@ def main() -> None:
     # probe — so no reported best was taken inside a throttle window
     reruns: dict[str, object] = {}
     for name in secondary:
-        ts = [t for t, _ in per_pass[name]]
-        best_t, best_par = min(per_pass[name], key=lambda r: r[0])
-        spread = len(ts) > 1 and max(ts) > 3.0 * min(ts)
-        if (spread or best_par > _PAR_GATE) and calm_wait > 0:
+        reason = _rerun_reason(per_pass[name])
+        if reason and calm_wait > 0:
             _, rpar = _wait_for_calm_host(180)
             rdt = run_one(name)
             per_pass[name].append((rdt, rpar))
             reruns[name] = {
-                "reason": "pass spread >3x" if spread else "best at failed probe",
+                "reason": reason,
                 "sec": round(rdt, 3),
                 "probe": round(rpar, 2),
             }

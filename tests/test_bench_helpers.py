@@ -28,6 +28,21 @@ def test_parallel_probe_returns_finite_ratio():
     assert 0.1 < r < 1000
 
 
+def test_rerun_reason_rules():
+    # clean pair, calm probes -> no rerun
+    assert bench._rerun_reason([(1.0, 4.0), (1.2, 4.5)]) is None
+    # >3x spread between passes -> rerun even if probes were calm
+    assert bench._rerun_reason([(1.0, 4.0), (3.5, 4.0)]) == "pass spread >3x"
+    # best pass measured at a failed probe -> rerun
+    assert (
+        bench._rerun_reason([(1.0, 9.0), (1.4, 4.0)]) == "best at failed probe"
+    )
+    # the WORSE pass at a failed probe doesn't matter if the best is calm
+    assert bench._rerun_reason([(1.0, 4.0), (1.4, 9.0)]) is None
+    # single-pass runs can still be probe-flagged
+    assert bench._rerun_reason([(2.0, 7.0)]) == "best at failed probe"
+
+
 def test_sf_from_dir():
     assert bench._sf_from_dir("/root/testdata/sf0.01") == 0.01
     assert bench._sf_from_dir("/root/testdata/sf0.1/") == 0.1
