@@ -988,6 +988,49 @@ def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir, n_hashes=64, bands=16)
 
 
+def _ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (char-5-shingle) Jaccard as its OWN driver row
+    (round 5): `ngram_jaccard_pairs` previously appeared only as the
+    verify stage inside the minhash pipeline; this row exercises it
+    standalone over a BOUNDED candidate set (all pairs within doc_id <
+    60 — constant work at any sf, so the exact oracle is non-quadratic
+    and the row stays green at sf0.1 where the all-pairs minhash oracle
+    cannot finish). Threshold 0.2 keeps boilerplate-duplicate pairs."""
+    _prep(spark)
+    from tersets_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("doc_id") < 60)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cands = (
+        ids.crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.2)
+    return pairs.select("id_a", "id_b", _trunc(F.col("jaccard")).alias("jaccard"))
+
+
+_NGRAM_JACCARD_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> substring(text, i, 5))) AS s
+        FROM d
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e4) / 1e4 AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+
+
 _MINHASH_JACCARD_ORACLE = """
     WITH sh AS (
         SELECT doc_id,
@@ -1904,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_tier_rollup_1m": _fused_tier_rollup_query,
         "dedup_exact": _dedup_exact_query,
         "minhash_jaccard_dups": _minhash_jaccard_query,
+        "ngram_jaccard_verify": _ngram_jaccard_query,
         "textstats": _textstats_query,
         "textprofile": _textprofile_query,
         "ann_topk": _ann_topk_query,
@@ -1980,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         "fused_tier_rollup_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "minhash_jaccard_dups": _MINHASH_JACCARD_ORACLE,
+        "ngram_jaccard_verify": _NGRAM_JACCARD_ORACLE,
         "textstats": _TEXTSTATS_ORACLE,
         "textprofile": _TEXTPROFILE_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
