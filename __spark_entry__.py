@@ -1806,6 +1806,35 @@ _MEDIA_FEATURES_ORACLE = """
 """
 
 
+def _media_framesample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan as a driver row (round 5 — the last
+    media verb without one): the pure-Catalyst explode that feeds a
+    frame decoder, one row per (media_id, frame_ts_ms) at a 1 s stride
+    over the deterministic real-media table's videos (id % 4 == 3,
+    duration 3000 ms -> ts 0/1000/2000). Fully SQL-derivable, so the
+    oracle replays it exactly."""
+    _prep(spark)
+    from tersets_spark.operators.multimodal import frame_sample_plan, synth_real_media
+
+    media = synth_real_media(spark, 64)
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+_MEDIA_FRAMESAMPLE_ORACLE = """
+    SELECT printf('m_%08d', v.i) AS media_id,
+           CAST(ts.t AS BIGINT) AS frame_ts_ms,
+           CAST(16 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height
+    FROM generate_series(3, 63, 4) AS v(i),
+         generate_series(0, 2999, 1000) AS ts(t)
+"""
+
+
 def _media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize gate: box-average downsample (factor 2) every
     image/video payload of the deterministic real-media table and gate
@@ -1960,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_stats": _ivf_index_stats_query,
         "lineage_status": _lineage_status_query,
         "media_features_real": _media_features_query,
+        "media_framesample": _media_framesample_query,
         "media_resize_real": _media_resize_query,
         "media_resample_real": _media_resample_query,
         "embedding_near_dups": _embedding_neardup_query,
@@ -2038,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "lineage_status": _LINEAGE_STATUS_ORACLE,
         "compression_summary": _COMPRESSION_SUMMARY_ORACLE,
         "media_features_real": _MEDIA_FEATURES_ORACLE,
+        "media_framesample": _MEDIA_FRAMESAMPLE_ORACLE,
         "media_resize_real": _MEDIA_RESIZE_ORACLE,
         "media_resample_real": _MEDIA_RESAMPLE_ORACLE,
         "embedding_near_dups": _embedding_neardup_oracle(),
