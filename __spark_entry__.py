@@ -980,6 +980,14 @@ def minhash_pairs(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     cands = minhash_lsh_candidates(docs, n_hashes=n_hashes, bands=bands).persist()
+    # materialize the candidate cache BEFORE the verify join reads it
+    # three times (id_a/id_b semi-join + main join): left lazy, the
+    # consumers race to populate the cache and AQE may even broadcast-
+    # build the whole candidate pipeline — measured 14-50 s vs 4-6 s
+    # for the SAME 16/4 config at sf0.1 (this was the r4/r5 "lighter
+    # minhash slower than its heavier anchor" artifact anomaly; it was
+    # structural, not host noise)
+    cands.count()
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
     return pairs.select("id_a", "id_b", _trunc(F.col("jaccard")).alias("jaccard"))
 
