@@ -385,7 +385,12 @@ def roundtrip_verify(
     ``roundtrip_ok`` compares the reassembled array element-wise against
     the original — the engine form of the reference's bit-identical gate
     (/root/reference/src/tersets.zig:887-888)."""
-    # persisted: both the size aggregate and the decode branch consume it
+    # persisted: both the size aggregate and the decode branch consume
+    # it. Lazy persist is CORRECT here (measured r5: an eager count()
+    # materialization made this 35% slower — the shuffle joins share
+    # the cache fine; the lazy-persist fan-out trap in CLAUDE.md bites
+    # only when a consumer turns into an AQE broadcast build, as in the
+    # minhash candidate verify)
     blocks = compress_blocks(df, method, config, chunk, fan_out=True).persist()
     sizes = blocks.groupBy("doc_id").agg(
         F.sum("bytes").alias("compressed_bytes"),
