@@ -284,6 +284,8 @@ def main() -> None:
     # probe — so no reported best was taken inside a throttle window
     reruns: dict[str, object] = {}
     for name in secondary:
+        if not per_pass[name]:  # SPARK_GRAFT_BENCH_PASSES=0: skip
+            continue
         reason = _rerun_reason(per_pass[name])
         if reason and calm_wait > 0:
             _, rpar = _wait_for_calm_host(180)
@@ -299,28 +301,34 @@ def main() -> None:
     # cross-round comparability anchor: ONE timing of minhash at the
     # correctness config (64 hashes / 16 bands — what the sf0.01 oracle
     # checks), so round-over-round deltas aren't config changes
+    def run_anchor() -> float:
+        t0 = time.time()
+        entrymod.minhash_pairs(spark, sf_dir, n_hashes=64, bands=16).count()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return dt
+
     par_anchor = _parallel_probe()
-    t0 = time.time()
-    entrymod.minhash_pairs(spark, sf_dir, n_hashes=64, bands=16).count()
-    timings["minhash_jaccard_64x16"] = round(time.time() - t0, 3)
-    spark.catalog.clearCache()
+    timings["minhash_jaccard_64x16"] = round(run_anchor(), 3)
     # internal consistency: the lighter 16/4 config must not read
     # slower than its heavier 64x16 anchor (the r4 artifact's
     # self-contradiction); one gated re-measure of both if it does
-    if calm_wait > 0 and timings["minhash_jaccard_dups"] > timings["minhash_jaccard_64x16"]:
+    if (
+        calm_wait > 0
+        and "minhash_jaccard_dups" in timings
+        and timings["minhash_jaccard_dups"] > timings["minhash_jaccard_64x16"]
+    ):
         _, rpar = _wait_for_calm_host(180)
         rdt = run_one("minhash_jaccard_dups")
         timings["minhash_jaccard_dups"] = round(
             min(timings["minhash_jaccard_dups"], rdt), 3
         )
-        t0 = time.time()
-        entrymod.minhash_pairs(spark, sf_dir, n_hashes=64, bands=16).count()
         timings["minhash_jaccard_64x16"] = round(
-            min(timings["minhash_jaccard_64x16"], time.time() - t0), 3
+            min(timings["minhash_jaccard_64x16"], run_anchor()), 3
         )
-        spark.catalog.clearCache()
         reruns["minhash_anchor_consistency"] = {
             "reason": "16/4 slower than 64x16 anchor",
+            "sec": round(rdt, 3),
             "probe": round(rpar, 2),
         }
 
