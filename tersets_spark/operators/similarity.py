@@ -225,8 +225,13 @@ def _kmeans(X: np.ndarray, n_cells: int, iters: int = 10) -> np.ndarray:
     k = min(n_cells, n)
     C = X[(np.arange(k) * n) // k].copy()
     for _ in range(iters):
-        # (n, k) dots, each a sequential fold over the dim axis
-        dots = np.cumsum(X[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+        # (n, k) dots as a sequential left fold over the dim axis:
+        # acc_j = acc_{j-1} + x_j*c_j, identical IEEE order to the
+        # 0.0-seeded SQL fold (and to cumsum's running sum), without
+        # materializing the (n, k, d) cumsum temp
+        dots = np.zeros((n, k))
+        for j in range(X.shape[1]):
+            dots += X[:, j, None] * C[None, :, j]
         assign = np.argmax(dots, axis=1)  # ties -> lowest cell
         for j in range(k):
             members = X[assign == j]
