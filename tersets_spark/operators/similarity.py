@@ -270,6 +270,45 @@ def _cell_dots(
 #: hot cell h's sub-cell s becomes h*_SUB + 1 + s (s < _SUB - 1)
 _SUB = 64
 
+#: above this many inlined doubles the centroid matrix rides a one-row
+#: broadcast instead of plan literals — a realistic IVF (1024 cells x
+#: 768 dims) would otherwise put ~800k literals in every plan
+_INLINE_LIT_LIMIT = 8192
+
+
+def _attach_cell_dots(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    ids: "list[int] | None" = None,
+    out: str = "_dots",
+) -> DataFrame:
+    """Attach the array<struct<d, c>> of per-centroid dots as column
+    ``out``. Small matrices inline as literals (:func:`_cell_dots` —
+    whole-stage-codegen friendly, zero joins); past
+    ``_INLINE_LIT_LIMIT`` doubles the matrix rides a ONE-ROW broadcast
+    cross join instead, keeping plan size constant no matter how many
+    cells the index has (the same no-plan-literals discipline as the
+    hot-cell sub-centroid table). Both paths compute the identical
+    0.0-seeded fold, so results are bit-equal."""
+    if ids is None:
+        ids = list(range(len(centroids)))
+    if centroids.size <= _INLINE_LIT_LIMIT:
+        return df.withColumn(out, _cell_dots(vec_col, centroids, ids))
+    spark = df.sparkSession
+    cents = [
+        (int(ids[j]), [float(x) for x in centroids[j]])
+        for j in range(len(centroids))
+    ]
+    cdf = spark.createDataFrame(
+        [(cents,)], "_cents array<struct<c: bigint, v: array<double>>>"
+    )
+    dots = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(_dot(F.col(vec_col), s["v"]).alias("d"), s["c"].alias("c")),
+    )
+    return df.crossJoin(F.broadcast(cdf)).withColumn(out, dots).drop("_cents")
+
 
 class IvfIndex:
     """Built IVF index: the persisted cell-assignment DataFrame plus the
@@ -322,12 +361,15 @@ def build_ivf_index(
     Sub-cell re-assignment joins a BROADCAST (cell -> sub-centroids)
     table instead of inlining every sub-centroid as plan literals, so
     plan size stays constant no matter how many cells re-split."""
-    dots = _cell_dots(vec_col, centroids)
-    base = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.array_max(dots)["c"].alias("cell"),
-    ).persist()
+    base = (
+        _attach_cell_dots(corpus, vec_col, centroids)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.array_max(F.col("_dots"))["c"].alias("cell"),
+        )
+        .persist()
+    )
     stats = {"n_cells": len(centroids), "n_hot": 0, "dropped_rows": 0,
              "dropped_cells": 0}
     if cell_cap is None:
@@ -523,15 +565,19 @@ def ivf_topk(
         # pass) instead of leaking a persisted DF per call (ADVICE r4)
         index.unpersist()
     c = index.assigned
-    qdots = _cell_dots(vec_col, index.centroids, ids=list(index.cell_ids))
     probes = F.transform(
-        F.slice(F.reverse(F.array_sort(qdots)), 1, nprobe), lambda s: s["c"]
+        F.slice(F.reverse(F.array_sort(F.col("_dots"))), 1, nprobe),
+        lambda s: s["c"],
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(probes).alias("cell"),
-    ).withColumn("cell", F.col("cell").cast("long"))
+    q = (
+        _attach_cell_dots(queries, vec_col, index.centroids, ids=list(index.cell_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probes).alias("cell"),
+        )
+        .withColumn("cell", F.col("cell").cast("long"))
+    )
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -224,6 +224,47 @@ def test_ivf_resplit_keeps_hot_cell_rows(spark):
     idx2.unpersist()
 
 
+def test_ivf_large_centroid_matrix_rides_broadcast_not_literals(spark):
+    """Past _INLINE_LIT_LIMIT doubles, the centroid matrix must NOT be
+    inlined as plan literals (a 1024x768 index would put ~800k literals
+    in every plan): it rides a one-row broadcast cross join, keeping
+    plan size constant. Values are bit-equal on both paths (same
+    0.0-seeded fold), checked against the literal path."""
+    import numpy as np
+
+    from tersets_spark.operators.similarity import (
+        _INLINE_LIT_LIMIT,
+        _attach_cell_dots,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    ).limit(20)
+    big = np.random.default_rng(1).normal(size=(_INLINE_LIT_LIMIT // 64 + 8, 64))
+    attached = _attach_cell_dots(emb, "embedding", big)
+    plan = attached._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000, len(plan)  # literal inlining would explode this
+    assert "Broadcast" in plan, plan
+    # bit-equality vs the literal path on a small slice of the matrix
+    small = big[:4]
+    a = _attach_cell_dots(emb, "embedding", small).select("vec_id", "_dots")
+    import tersets_spark.operators.similarity as sim
+
+    orig = sim._INLINE_LIT_LIMIT
+    sim._INLINE_LIT_LIMIT = 0  # force broadcast for the same small matrix
+    try:
+        b = _attach_cell_dots(emb, "embedding", small).select("vec_id", "_dots")
+        rows_a = {r["vec_id"]: r["_dots"] for r in a.collect()}
+        rows_b = {r["vec_id"]: r["_dots"] for r in b.collect()}
+    finally:
+        sim._INLINE_LIT_LIMIT = orig
+    assert set(rows_a) == set(rows_b)
+    for k in rows_a:
+        assert [(d["d"], d["c"]) for d in rows_a[k]] == [
+            (d["d"], d["c"]) for d in rows_b[k]
+        ]
+
+
 def test_ivf_resplit_build_jobs_independent_of_n_hot(spark):
     """Round-4 verdict #4: hot-cell samples are gathered in ONE job (a
     per-batch local prune + one row_number window over ALL hot cells,
