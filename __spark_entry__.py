@@ -1274,7 +1274,7 @@ def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_ann_oracle(
     n_cells: int = 32, sample_size: int = 4096, iters: int = 10,
     dim: int = 64, nprobe: int = 8, k: int = 5, max_query_id: int = 20,
-    sub: int = 64,
+    sub: int = 64, emit: str = "topk",
 ) -> str:
     """DuckDB replica of ``_ivf_topk_query`` INCLUDING the k-means
     training: cent0 = stratified init rows (X[j*n//k], matching
@@ -1331,6 +1331,13 @@ def _ivf_ann_oracle(
         FROM (SELECT p.cell, coalesce(m.m, p.c) AS mv
               FROM cent{t - 1} p LEFT JOIN mu{t} m USING (cell))
     )""")
+    if emit == "centroids":
+        # tests/test_ivf_sql_exact.py: expose the trained matrix itself
+        # so _kmeans <-> SQL bit-parity is pinned without a Spark run
+        parts.append(
+            f"\n    SELECT cell, c AS centroid FROM cent{iters} ORDER BY cell"
+        )
+        return "".join(parts)
     parts.append(f""", cents AS MATERIALIZED (
         SELECT cell * {sub} AS cell, c FROM cent{iters}
     ), corp AS MATERIALIZED (
