@@ -141,6 +141,35 @@ def main() -> None:
     levels = {8: [r8], 32: [r32]}
     repeat = pairs
     detail = r32
+    # machine-readable artifact beside the prose: every pair's levels
+    # with their probe ratios, plus the chosen efficiency and protocol
+    artifact = {
+        "n_lo": n_lo,
+        "n_hi": n_hi,
+        "chosen_eff": round(eff, 4),
+        "pairs": [
+            {
+                "eff": round(e, 4),
+                "lo": {"value": p_lo["value"],
+                       "wall_s": p_lo["queries"]["flagship_compress_rollup"],
+                       "par_probe_ratio": p_lo["detail"].get("par_probe_ratio")},
+                "hi": {"value": p_hi["value"],
+                       "wall_s": p_hi["queries"]["flagship_compress_rollup"],
+                       "par_probe_ratio": p_hi["detail"].get("par_probe_ratio")},
+            }
+            for e, p_lo, p_hi in results
+        ],
+        "protocol": {
+            "drain_s": DRAIN_S,
+            "drain_workers": DRAIN_WORKERS,
+            "docs": SCALING_DOCS,
+            "alternating_order": True,
+            "sf": detail["sf"],
+        },
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+
     # ALWAYS write the fresh run as the official table (round-4 verdict
     # #3: stale-but-valid evidence must not be carried forward again);
     # prior rounds' numbers live in the hand-curated tail below
