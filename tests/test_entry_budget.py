@@ -54,13 +54,14 @@ def test_every_method_code_has_a_driver_row():
     assert "extract_rebuild_identity" in qs
 
 
-def test_every_query_has_oracle_or_documented_exemption():
+def test_every_query_has_an_oracle():
+    # as of round 5 there are ZERO rows-only queries: ivf_ann_topk (the
+    # last one) got a hard oracle by making _kmeans SQL-exact, so the
+    # DuckDB SQL trains the identical centroids. Any new query must
+    # ship with its oracle — no silent rows-only regressions.
     qs, oracles = e.queries(), e.oracle_sql()
     rows_only = {n for n in qs if n not in oracles}
-    # ivf_ann_topk is centroid-dependent (driver-sample k-means has no
-    # SQL analog) and gated by oracle-green ivf_ann_recall — the ONLY
-    # allowed exemption (lsh_ann_topk gained a bit-exact oracle in r4)
-    assert rows_only <= {"ivf_ann_topk"}, rows_only
+    assert not rows_only, f"queries without an oracle: {rows_only}"
     assert not set(oracles) - set(qs), "oracle_sql() keys must exist in queries()"
 
 
