@@ -295,7 +295,9 @@ def test_ivf_resplit_build_jobs_independent_of_n_hot(spark):
     assert idx1.stats["n_hot"] == 1
     idx4, j4 = build(np.random.default_rng(7).normal(size=(4, 64)), 20, "ivf_nhot_4")
     assert idx4.stats["n_hot"] >= 3, idx4.stats
-    assert j4 == j1, (j1, j4)
+    # jobs must not SCALE with n_hot (a per-cell sample loop would add
+    # >= n_hot jobs); +-1 tolerance absorbs AQE sub-job jitter
+    assert j4 <= j1 + 1, (j1, j4)
     # broadcast-join shape: no per-sub-centroid literals in the plan
     idx5 = build_ivf_index(emb, np.ones((1, 64)), cell_cap=100)
     plan = idx5.assigned._jdf.queryExecution().executedPlan().toString()
