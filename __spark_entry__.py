@@ -582,86 +582,39 @@ _ROLLUP_BY_TYPE_ORACLE = """
 """
 
 
-def _float_roundtrip_query(method: Method):
-    """Bitwise round-trip of REAL float series: each user's event values
-    ordered by time become f64 series through the XOR/float codecs —
-    the Gorilla-family path of the north_star on actual measurements.
+#: (label, method code) legs of the consolidated float-roundtrip
+#: catalog: the four XOR/float lossless codecs over each user's event
+#: VALUES, plus the timestamp-encoding leg ("ts_delta") — the bit-packed
+#: delta codec over each user's sorted EPOCH SECONDS, its native
+#: delta-of-delta-friendly workload (reference
+#: bitpacked_delta_encoding.zig:45-343)
+_FLOAT_CATALOG = (
+    ("chimp64", int(Method.Chimp64)),
+    ("chimp128", int(Method.Chimp128)),
+    ("elf", int(Method.Elf)),
+    ("delta", int(Method.BitPackedDeltaEncoding)),
+    ("ts_delta", int(Method.BitPackedDeltaEncoding)),
+)
+
+
+def _float_roundtrip_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise round-trip of REAL float series through every
+    XOR/float lossless codec in ONE driver row (round 6: consolidates
+    the five per-method ``float_roundtrip_*``/``ts_roundtrip_delta``
+    rows to fit the new rows inside the driver's 50-row budget — the
+    bound_catalog pattern). Each user's event values ordered by time
+    become f64 series; the ``ts_delta`` leg feeds the sorted epoch
+    seconds instead — the Gorilla-family path of the north_star on
+    actual measurements.
 
     Skew control: series are chunked per (user_id, UTC day) before the
     collect_list, so a hot user key never produces an unbounded group —
     the same deterministic-chunk pattern as the token compress path
     (operators/compress.py CHUNK). Each day-chunk round-trips
-    independently; the per-user verdict is the AND over its chunks."""
-
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _prep(spark)
-        from typing import Iterator
-
-        import numpy as np
-        import pandas as pd
-
-        from tersets_spark.kernels import registry
-
-        day = (F.floor(F.unix_timestamp("ts") / 86400)).alias("_day")
-        series = (
-            _events(spark, sf_dir)
-            .groupBy("user_id", day)
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "value"))
-                    ),
-                    lambda r: r["value"],
-                ).alias("vals")
-            )
-        )
-        method_code = int(method)
-
-        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            m = Method(method_code)
-            for pdf in batches:
-                oks, ns = [], []
-                for vals in pdf["vals"]:
-                    v = np.asarray(vals, dtype=np.float64)
-                    out = registry.decompress(registry.compress(v, m))
-                    oks.append(
-                        out.size == v.size
-                        and bool(
-                            np.array_equal(v.view(np.uint64), out.view(np.uint64))
-                        )
-                    )
-                    ns.append(v.size)
-                yield pd.DataFrame(
-                    {
-                        "user_id": pdf["user_id"],
-                        "n_values": np.asarray(ns, dtype=np.int64),
-                        "bit_exact": oks,
-                    }
-                )
-
-        chunked = series.mapInPandas(
-            verify, schema="user_id long, n_values long, bit_exact boolean"
-        )
-        return chunked.groupBy("user_id").agg(
-            F.sum("n_values").alias("n_values"),
-            F.min("bit_exact").alias("bit_exact"),
-        )
-
-    return q
-
-
-_FLOAT_ROUNDTRIP_ORACLE = """
-    SELECT user_id, count(*) AS n_values, true AS bit_exact
-    FROM events GROUP BY user_id
-"""
-
-
-def _ts_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp-encoding leg of the north_star: each user's event
-    EPOCH SECONDS (sorted, chunked per UTC day like the float path) go
-    through the bit-packed delta codec and must round-trip bit-exactly —
-    sorted timestamps are the codec's native delta-of-delta-friendly
-    workload (reference bitpacked_delta_encoding.zig:45-343)."""
+    independently per codec; the per-(method, user) verdict is the AND
+    over its chunks. One groupBy builds both series and ONE mapInPandas
+    pass runs all five legs — 5x the kernel work of a single leg but no
+    extra shuffles vs one per-method row."""
     _prep(spark)
     from typing import Iterator
 
@@ -673,43 +626,62 @@ def _ts_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = (F.floor(F.unix_timestamp("ts") / 86400)).alias("_day")
     series = (
         _events(spark, sf_dir)
-        .select("user_id", F.unix_timestamp("ts").alias("te"), "event_id", "ts")
+        .select("user_id", "ts", "event_id", "value", F.unix_timestamp("ts").alias("te"))
         .groupBy("user_id", day)
         .agg(
             F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+                lambda r: r["value"],
+            ).alias("vals"),
+            F.transform(
                 F.array_sort(F.collect_list(F.struct("te", "event_id"))),
                 lambda r: r["te"],
-            ).alias("vals")
+            ).alias("tvals"),
         )
     )
+    legs = tuple(_FLOAT_CATALOG)
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m = Method.BitPackedDeltaEncoding
         for pdf in batches:
-            oks, ns = [], []
-            for vals in pdf["vals"]:
-                v = np.asarray(vals, dtype=np.float64)
-                out = registry.decompress(registry.compress(v, m))
-                oks.append(
-                    out.size == v.size
-                    and bool(np.array_equal(v.view(np.uint64), out.view(np.uint64)))
-                )
-                ns.append(v.size)
+            methods, users, ns, oks = [], [], [], []
+            for user, vals, tvals in zip(pdf["user_id"], pdf["vals"], pdf["tvals"]):
+                for lbl, code in legs:
+                    src = tvals if lbl == "ts_delta" else vals
+                    v = np.asarray(src, dtype=np.float64)
+                    out = registry.decompress(registry.compress(v, Method(code)))
+                    methods.append(lbl)
+                    users.append(user)
+                    ns.append(v.size)
+                    oks.append(
+                        out.size == v.size
+                        and bool(
+                            np.array_equal(v.view(np.uint64), out.view(np.uint64))
+                        )
+                    )
             yield pd.DataFrame(
                 {
-                    "user_id": pdf["user_id"],
+                    "method": methods,
+                    "user_id": np.asarray(users, dtype=np.int64),
                     "n_values": np.asarray(ns, dtype=np.int64),
                     "bit_exact": oks,
                 }
             )
 
     chunked = series.mapInPandas(
-        verify, schema="user_id long, n_values long, bit_exact boolean"
+        verify, schema="method string, user_id long, n_values long, bit_exact boolean"
     )
-    return chunked.groupBy("user_id").agg(
+    return chunked.groupBy("method", "user_id").agg(
         F.sum("n_values").alias("n_values"),
         F.min("bit_exact").alias("bit_exact"),
     )
+
+
+_FLOAT_CATALOG_ORACLE = f"""
+    SELECT m.method, e.user_id, count(*) AS n_values, true AS bit_exact
+    FROM events e,
+         (VALUES {", ".join(f"('{lbl}')" for lbl, _c in _FLOAT_CATALOG)}) AS m(method)
+    GROUP BY m.method, e.user_id
+"""
 
 
 def _tier_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1979,13 +1951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_chimp128": _roundtrip_query(Method.Chimp128),
         "roundtrip_rle": _roundtrip_query(Method.RunLengthEncoding),
         "roundtrip_elf": _roundtrip_query(Method.Elf),
-        "float_roundtrip_chimp64": _float_roundtrip_query(Method.Chimp64),
-        "float_roundtrip_chimp128": _float_roundtrip_query(Method.Chimp128),
-        "float_roundtrip_elf": _float_roundtrip_query(Method.Elf),
-        "float_roundtrip_delta": _float_roundtrip_query(
-            Method.BitPackedDeltaEncoding
-        ),
-        "ts_roundtrip_delta": _ts_roundtrip_query,
+        # round 6: one consolidated row for the 4 float codecs + the
+        # timestamp-delta leg (was 5 rows; frees budget for
+        # dedup_fuzzy_groups / extract_edit_rebuild)
+        "float_roundtrip_catalog": _float_roundtrip_catalog_query,
         "tier_rollup_words_1m": _tier_rollup_tokens_query(60, _word_tokens),
         "tier_rollup_chars_1m": _tier_rollup_tokens_query(60, _char_tokens),
         "fused_tier_rollup_1m": _fused_tier_rollup_query,
@@ -2059,11 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_chimp128": _ROUNDTRIP_ORACLE,
         "roundtrip_rle": _ROUNDTRIP_ORACLE,
         "roundtrip_elf": _ROUNDTRIP_ORACLE,
-        "float_roundtrip_chimp64": _FLOAT_ROUNDTRIP_ORACLE,
-        "float_roundtrip_chimp128": _FLOAT_ROUNDTRIP_ORACLE,
-        "float_roundtrip_elf": _FLOAT_ROUNDTRIP_ORACLE,
-        "float_roundtrip_delta": _FLOAT_ROUNDTRIP_ORACLE,
-        "ts_roundtrip_delta": _FLOAT_ROUNDTRIP_ORACLE,
+        "float_roundtrip_catalog": _FLOAT_CATALOG_ORACLE,
         "tier_rollup_words_1m": _tier_rollup_tokens_oracle(60, _WORD_TOKENS_ORACLE),
         "tier_rollup_chars_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),
         "fused_tier_rollup_1m": _tier_rollup_tokens_oracle(60, _CHAR_TOKENS_ORACLE),

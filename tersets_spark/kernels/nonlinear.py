@@ -78,6 +78,8 @@ def _fit_eval(fam: int, x: np.ndarray, y: np.ndarray):
                 return None
             la, b = _ls2(x, np.log(y))
             a = float(np.exp(la))
+            if not math.isfinite(a):  # inf*0 → NaN check-pass (r5 ADVICE)
+                return None
             return (a, b, 0.0), a * np.exp(b * x)
         if fam == 3:
             sx = np.sqrt(x)
@@ -89,6 +91,8 @@ def _fit_eval(fam: int, x: np.ndarray, y: np.ndarray):
             lx = np.log(x + 1)
             la, b = _ls2(lx, np.log(y))
             a = float(np.exp(la))
+            if not math.isfinite(a):  # see fam-2 note
+                return None
             return (a, b, 0.0), a * np.power(x + 1, b)
     except np.linalg.LinAlgError:
         return None
@@ -202,6 +206,12 @@ def _fit_small(fam: int, y: list, eps: float):
         sly = sum(ly)
         sxly = sum(i * li for i, li in enumerate(ly))
         la, b = _ls2_scalar(n, s1, s2, sly, sxly)
+        # math.exp raises OverflowError past ~709 (np.exp returns inf),
+        # and an inf coefficient can turn the residual check into a
+        # NaN comparison (inf*0) that silently passes — reject the
+        # window outright instead (r5 ADVICE)
+        if la >= 709.0:
+            return None
         a = math.exp(la)
         # bound check with the DECODER's arithmetic (np.exp is not
         # correctly rounded and differs from math.exp in the last bits;
@@ -226,6 +236,8 @@ def _fit_small(fam: int, y: list, eps: float):
         sly = sum(ly)
         slly = sum(g * li for g, li in zip(lg, ly))
         la, b = _ls2_scalar(n, slg, slgg, sly, slly)
+        if la >= 709.0:  # see fam-2 note (r5 ADVICE)
+            return None
         a = math.exp(la)
         # decoder evaluates a * np.power(x+1, b), which differs from
         # exp(b*log(x+1)) in the last bits — verify with _eval
@@ -644,6 +656,8 @@ def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
                 Sly = cly[w] - cly[s]
                 Sxly = (ctly[w] - ctly[s]) - s * Sly
                 la, b = _ls2_scalar(L, s1, s2, Sly, Sxly)
+                if la >= 709.0:  # overflow → reject window (r5 ADVICE)
+                    continue
                 a = math.exp(la)
                 params = (a, b, 0.0)
                 yhat = a * np.exp(b * xw)
@@ -664,6 +678,8 @@ def _prefix_longest(rsu: _RunSums, s: int, e: int, eps: float, fam_order: list):
                     L, rsu.clx[L], rsu.clx2[L], cly[w] - cly[s],
                     float(lxv @ rsu.ly_np[s:w]),
                 )
+                if la >= 709.0:  # overflow → reject window (r5 ADVICE)
+                    continue
                 a = math.exp(la)
                 params = (a, b, 0.0)
                 # decoder arithmetic for the check, as everywhere

@@ -102,7 +102,16 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         timeout=3600,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    res = json.loads(line)
+    # bench.py's roundtrip-failure path emits {"value": 0.0, "error": ...}
+    # with neither 'detail' nor 'queries' — fail loudly with the reason
+    # instead of KeyError-ing later in the pair print/artifact (r5 ADVICE)
+    if "error" in res or "detail" not in res:
+        raise RuntimeError(
+            f"bench.py level run (cpus={cpus}) failed: "
+            f"{res.get('error', 'no detail in output')} — {line[:200]}"
+        )
+    return res
 
 
 def main() -> None:
