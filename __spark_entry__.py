@@ -1011,6 +1011,76 @@ _NGRAM_JACCARD_ORACLE = """
 """
 
 
+def _dedup_fuzzy_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup GROUP resolution (round-6 verdict #1): verified
+    near-dup pairs → connected components (alternating large-star/
+    small-star, pure node-keyed window aggregations, convergence-gated)
+    → ``(doc_id, cluster_id, cluster_size, is_survivor)`` with the
+    deterministic keep-one survivor = component-minimum doc — the stage
+    that actually shrinks a corpus, ending the dedup surface at the
+    DECISION the way the reference ends its entry points at the full
+    round trip (src/tersets.zig:887-888), not at intermediate state.
+
+    Pair set: exact char-5-shingle Jaccard >= 0.25 over docs with
+    doc_id < 200 — bounded so the DuckDB recursive-CTE oracle is
+    non-quadratic at any sf; at sf0.01 this graph has a 116-doc
+    boilerplate component (deep star iteration) plus 7 two-doc
+    components (trivial case). At 100-TB scale the pair set comes from
+    minhash_lsh_candidates + ngram_jaccard_pairs instead — the CC stage
+    is pair-source-agnostic."""
+    _prep(spark)
+    from tersets_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        resolve_duplicate_groups,
+    )
+
+    docs = (
+        _documents(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cands = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.25)
+    return resolve_duplicate_groups(pairs)
+
+
+#: min-label fixpoint over the identical pair set, as a recursive CTE:
+#: reach(v, l) enumerates every label reachable from v along pair
+#: edges; min(l) per v is the component minimum == Spark's cluster_id
+_DEDUP_FUZZY_GROUPS_ORACLE = """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> substring(text, i, 5))) AS s
+        FROM documents WHERE doc_id < 200
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.25
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(v, l) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v
+    ), lbl AS (
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (doc_id = cluster_id) AS is_survivor
+    FROM lbl
+"""
+
+
 _MINHASH_JACCARD_ORACLE = """
     WITH sh AS (
         SELECT doc_id,
@@ -1961,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact_query,
         "minhash_jaccard_dups": _minhash_jaccard_query,
         "ngram_jaccard_verify": _ngram_jaccard_query,
+        "dedup_fuzzy_groups": _dedup_fuzzy_groups_query,
         "textstats": _textstats_query,
         "textprofile": _textprofile_query,
         "ann_topk": _ann_topk_query,
@@ -2035,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "minhash_jaccard_dups": _MINHASH_JACCARD_ORACLE,
         "ngram_jaccard_verify": _NGRAM_JACCARD_ORACLE,
+        "dedup_fuzzy_groups": _DEDUP_FUZZY_GROUPS_ORACLE,
         "textstats": _TEXTSTATS_ORACLE,
         "textprofile": _TEXTPROFILE_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,

@@ -221,6 +221,144 @@ def ngram_jaccard_pairs(
     )
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): both operations are a single
+    window-min over the node key plus a union — NO joins, so the
+    per-round cost is two node-keyed exchanges over the edge set.
+
+    large-star: every strictly-larger neighbor ``v`` of ``u`` is rewired
+    to ``m(u) = min(N(u) ∪ {u})``; small-star: every smaller-or-self
+    member of ``u``'s star is rewired to its minimum. Alternating the
+    two converges to min-rooted stars in O(log^2 n) rounds."""
+    # --- large-star over the symmetric edge view ---
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    large = (
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # --- small-star over the large→small orientation ---
+    oriented = (
+        large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .withColumn("m", F.min("v").over(w))
+    )
+    children = oriented.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = oriented.select("u", F.col("m").alias("v")).distinct()
+    return children.union(self_edges).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair set via alternating
+    large-star/small-star — the scale-safe MapReduce CC algorithm
+    (O(log^2 n) rounds, every round a node-keyed window aggregation;
+    no cartesian products, no driver-side graph state).
+
+    Returns ``(node, cluster_id)`` for every node that appears in
+    ``pairs``, where ``cluster_id`` is the component MINIMUM node id
+    (deterministic). Iteration is convergence-gated: each round costs
+    two bounded Spark actions (the eager checkpoint that materializes
+    the round + an edge-set checksum on the canonical undirected form),
+    so total work is O(rounds * |E|), not quadratic in rounds. A graph
+    not converged after ``max_iter`` rounds raises — no silent wrong
+    answers."""
+    # lineage MUST be truncated per round with a checkpoint, not a
+    # persist: each star round references the previous edge set ~4
+    # times, so with persist the LOGICAL plan still grows ~4x per round
+    # and Catalyst analysis goes exponential in the round count (the
+    # data is cached but the optimizer walks the whole tree).
+    # localCheckpoint(eager) cuts the plan at round granularity; on a
+    # real cluster with executor-loss concerns, swap for a reliable
+    # checkpoint directory — same call shape.
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        row = (
+            e.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
+            # bit_xor, not sum: ANSI mode makes a long-sum of 64-bit
+            # hashes raise on overflow; xor is overflow-free and order-
+            # independent (edges are distinct, so nothing cancels)
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            )
+            .first()
+        )
+        return (row["n"], row["h"])
+
+    prev = checksum(edges)
+    converged = prev[0] == 0  # no edges → nothing to iterate
+    for _ in range(max_iter):
+        if converged:
+            break
+        # eager localCheckpoint = the round's ONE materializing action;
+        # the checksum then reads the checkpointed blocks
+        new_edges = _star_round(edges).localCheckpoint(eager=True)
+        cur = checksum(new_edges)
+        edges = new_edges
+        if cur == prev:
+            converged = True
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds (theoretical bound O(log^2 n))"
+        )
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = edges.select(
+        F.col("v").alias("node"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return members.union(roots).distinct()
+
+
+def resolve_duplicate_groups(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve verified near-duplicate PAIRS into duplicate GROUPS with
+    deterministic keep-one survivors — the stage that actually shrinks
+    a training corpus (round-6 verdict #1). Returns
+    ``(doc_id, cluster_id, cluster_size, is_survivor)`` for every doc
+    that appears in a pair; the survivor is the component-minimum doc id
+    (== ``cluster_id``), so downstream keeps ``is_survivor`` rows plus
+    all docs never seen in a pair."""
+    labels = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

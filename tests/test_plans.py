@@ -352,3 +352,55 @@ def test_catalog_verify_plan_shape(spark):
     # final agg over the partials (hash agg, no window / no cartesian)
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_equi_only_and_bounded_jobs(spark):
+    """Round-6 verdict #1 'done' gate: a star round is pure node-keyed
+    window aggregation (NO cartesian/broadcast-nested-loop joins), and
+    the iteration runs a bounded number of Spark jobs — 2 actions per
+    round (eager checkpoint + convergence checksum), never per-node or
+    per-edge driver work."""
+    from tersets_spark.operators.dedup import _star_round, connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    # plan shape of one round: windows + unions only
+    edges = chain.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).distinct()
+    plan = _plan(_star_round(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan  # no Python in the loop
+    assert "Window" in plan
+
+    # job count: bounded PER ROUND (O(log^2 n) rounds total), never per
+    # node or per edge. Each round is 2 actions (eager checkpoint +
+    # checksum), but AQE materializes each exchange as a sub-job, so
+    # the per-round job count is a small constant (~9 measured), not 2
+    # — the test instruments the round count and asserts the ratio.
+    import tersets_spark.operators.dedup as dd
+
+    rounds = [0]
+    orig_round = dd._star_round
+
+    def counting_round(e):
+        rounds[0] += 1
+        return orig_round(e)
+
+    sc = spark.sparkContext
+    group = "cc_jobs_chain64"
+    dd._star_round = counting_round
+    sc.setJobGroup(group, group)
+    try:
+        labels = {r.node: r.cluster_id for r in connected_components(chain).collect()}
+    finally:
+        sc.setJobGroup("", "")
+        dd._star_round = orig_round
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert labels == {i: 0 for i in range(65)}
+    assert 1 <= rounds[0] <= 10, rounds[0]  # O(log^2 n) on a 64-chain
+    # 12 jobs/round of AQE slack + setup/collect overhead; a per-node
+    # driver loop (65 nodes) would blow through this
+    assert jobs <= 12 * rounds[0] + 10, (jobs, rounds[0])

@@ -154,3 +154,74 @@ def test_latest_wins_merges_frames(spark):
     )
     out = {r.key: (r.ver, r.val) for r in latest_wins(a, ["key"], "ver", b).collect()}
     assert out == {"k1": (2, 11.0), "k2": (1, 20.0), "k3": (1, 30.0)}
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Alternating large/small-star must label every node with its
+    component MINIMUM, on adversarial shapes: long chains (worst-case
+    round count), stars, cliques, singleton pairs, and random graphs."""
+    from tersets_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    graphs = [
+        [(i, i + 1) for i in range(40)],              # one long chain
+        [(0, i) for i in range(1, 20)],               # star at the min
+        [(i, 19) for i in range(19)],                 # star at the max
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],  # clique
+        [(100, 101), (200, 201), (300, 301)],         # disjoint pairs
+    ]
+    for _ in range(3):
+        n = int(rng.integers(10, 60))
+        m = int(rng.integers(5, 80))
+        graphs.append(
+            [tuple(map(int, rng.integers(0, n, 2))) for _ in range(m)]
+        )
+    for pairs in graphs:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        expected = _union_find_components(pairs)
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"mismatch on {pairs[:6]}..."
+
+
+def test_connected_components_empty_pairs(spark):
+    from tersets_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_resolve_duplicate_groups_survivors(spark):
+    """Survivor = component-minimum doc; cluster_size counts members."""
+    from tersets_spark.operators.dedup import resolve_duplicate_groups
+
+    pairs = [(5, 3), (3, 9), (20, 21)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = {r.doc_id: r for r in resolve_duplicate_groups(df).collect()}
+    assert set(rows) == {3, 5, 9, 20, 21}
+    assert all(rows[d].cluster_id == 3 for d in (3, 5, 9))
+    assert all(rows[d].cluster_size == 3 for d in (3, 5, 9))
+    assert rows[3].is_survivor and not rows[5].is_survivor
+    assert rows[20].cluster_id == 20 and rows[20].is_survivor
+    assert rows[21].cluster_size == 2 and not rows[21].is_survivor
