@@ -344,6 +344,46 @@ _EXTRACT_REBUILD_ORACLE = f"""
 """
 
 
+#: edit-path sweep = the extract sweep minus NonLinearApproximation:
+#: its exp/power families decode a*exp(b*x) / a*(x+1)^b, which is
+#: NONLINEAR in the stored coefficient b — doubling every coefficient
+#: does not double the curve, so the bit-exact 2x contract below
+#: cannot hold for windows where those families win
+_EDIT_CONFIGS = {
+    k: v
+    for k, v in _EXTRACT_CONFIGS.items()
+    if k != int(Method.NonLinearApproximation)
+}
+
+
+def _extract_edit_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract → EDIT (scale all coefficients by 2.0) → rebuild →
+    decode, per doc and per segment method (round-6 verdict #7: the
+    identity row proves the format; this row exercises the coefficient
+    TRANSFORM the reference designed the surface for,
+    src/tersets.zig:467-791). The decoded edited series must be
+    bit-exactly 2x the decoded original — exact because 2.0 is a power
+    of two and every decoder in ``_EDIT_CONFIGS`` is linear in its
+    coefficients (see extract_edit_rebuild_verify). Same bounded
+    512-token prefix rationale as extract_rebuild_identity."""
+    _prep(spark)
+    from tersets_spark.operators.compress import extract_edit_rebuild_verify
+
+    toks = _char_tokens(spark, sf_dir).select(
+        "doc_id", F.slice("tokens", 1, 512).alias("tokens"), "n_tok"
+    )
+    return extract_edit_rebuild_verify(toks, _EDIT_CONFIGS, scale=2.0)
+
+
+_EXTRACT_EDIT_ORACLE = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(length(text) AS BIGINT) AS n_tok,
+           CAST({len(_EDIT_CONFIGS)} AS BIGINT) AS n_methods,
+           true AS edit_exact
+    FROM documents
+"""
+
+
 def _tier_rollup_tokens_query(width: int, tokenizer):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
@@ -2057,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invariant_catalog": _catalog_query(_INVARIANT_CATALOG),
         "roundtrip_uncompressed": _roundtrip_query(Method.Uncompressed),
         "extract_rebuild_identity": _extract_rebuild_query,
+        "extract_edit_rebuild": _extract_edit_rebuild_query,
     }
 
 
@@ -2114,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         "invariant_catalog": _catalog_oracle(_INVARIANT_CATALOG),
         "roundtrip_uncompressed": _ROUNDTRIP_ORACLE,
         "extract_rebuild_identity": _EXTRACT_REBUILD_ORACLE,
+        "extract_edit_rebuild": _EXTRACT_EDIT_ORACLE,
         "simhash_candidates": _simhash_oracle(12, 16),
         "ivf_ann_recall": _IVF_RECALL_ORACLE,
         "lsh_ann_recall": _IVF_RECALL_ORACLE,  # same all-true gate shape

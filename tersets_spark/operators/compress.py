@@ -373,6 +373,72 @@ def extract_rebuild_verify(df: DataFrame, configs: dict[int, dict]) -> DataFrame
     )
 
 
+def extract_edit_rebuild_verify(
+    df: DataFrame, configs: dict[int, dict], scale: float = 2.0
+) -> DataFrame:
+    """The EDIT path the reference designed extract/rebuild for
+    (src/tersets.zig:467-791: decompose → transform coefficients →
+    re-serialize → decode): per doc and method, compress, extract,
+    scale EVERY model coefficient by ``scale``, rebuild, decode, and
+    require the decoded series to equal ``scale *
+    decode(original blob)`` BIT-exactly.
+
+    Why bit-exact is achievable: ``scale`` defaults to 2.0, a power of
+    two — float multiplication by 2 only bumps the exponent (no
+    rounding, barring overflow/denormals), and IEEE-754 rounding is
+    scale-invariant under powers of two, so any decoder that is a fixed
+    dataflow of +/-/*// with coefficients entering LINEARLY reproduces
+    the doubled series exactly. Every segment method qualifies except
+    NonLinearApproximation (its exp/power families are nonlinear in
+    the stored exponent coefficient) — callers pass configs without it.
+
+    Returns ``(doc_id, n_tok, n_methods, edit_exact)``."""
+    cfg_items = sorted((int(k), dict(v)) for k, v in configs.items())
+    s = float(scale)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.extract import extract, rebuild
+
+        for pdf in batches:
+            oks, counts = [], []
+            for toks in pdf["tokens"]:
+                v = np.asarray(toks, dtype=np.float64)
+                ok = True
+                for code, cfg in cfg_items:
+                    m = Method(code)
+                    blob = registry.compress(v, m, cfg)
+                    base = registry.decompress(blob)
+                    idx, coeffs, m2 = extract(blob)
+                    out = registry.decompress(rebuild(idx, coeffs * s, m2))
+                    want = base * s
+                    if out.size != want.size or not np.array_equal(
+                        out.view(np.uint64), want.view(np.uint64)
+                    ):
+                        ok = False
+                        break
+                oks.append(ok)
+                counts.append(len(cfg_items))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pdf["n_tok"].astype("int64"),
+                    "n_methods": np.asarray(counts, dtype=np.int64),
+                    "edit_exact": oks,
+                }
+            )
+
+    return (
+        df.select("doc_id", "tokens", "n_tok")
+        # same fan-out rationale as extract_rebuild_verify: per-doc
+        # kernel work dominates, AQE never coalesces user-given counts
+        .repartition(_verify_parallelism(df), F.col("doc_id"))
+        .mapInPandas(
+            verify,
+            schema="doc_id string, n_tok long, n_methods long, edit_exact boolean",
+        )
+    )
+
+
 def roundtrip_verify(
     df: DataFrame,
     method: Method = Method.BitPackedDeltaEncoding,

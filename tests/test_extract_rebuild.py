@@ -75,3 +75,64 @@ def test_coefficient_edit_changes_reconstruction() -> None:
     out = decompress(shifted)
     base = decompress(blob)
     assert np.allclose(out - base, 100.0)
+
+
+def test_edit_scale_by_power_of_two_is_bit_exact():
+    """extract → coeffs*2 → rebuild → decode == 2 * decode(original),
+    bit-for-bit, for every linear-in-coefficients segment method (the
+    edit path of reference src/tersets.zig:467-791). 2.0 is a power of
+    two, so scaling is rounding-free and distributes exactly through
+    any +/-/*// decoder dataflow."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from tersets_spark.kernels import registry
+    from tersets_spark.kernels.extract import extract, rebuild
+    from tersets_spark.methods import Method
+
+    rng = np.random.default_rng(11)
+    series = [
+        rng.integers(32, 1000, 300).astype(np.float64),
+        np.sin(np.linspace(0, 15, 257)) * 250 + 400,
+        np.repeat(rng.integers(0, 50, 12), 25).astype(np.float64),
+        rng.normal(0, 1e6, 64),
+    ]
+    for code, cfg in sorted(e._EDIT_CONFIGS.items()):
+        m = Method(code)
+        for v in series:
+            blob = registry.compress(v, m, cfg)
+            base = registry.decompress(blob)
+            idx, coeffs, m2 = extract(blob)
+            out = registry.decompress(rebuild(idx, coeffs * 2.0, m2))
+            want = base * 2.0
+            assert out.size == want.size, m.name
+            assert np.array_equal(out.view(np.uint64), want.view(np.uint64)), (
+                m.name,
+                np.nonzero(out != want)[0][:5],
+            )
+
+
+def test_neats_edit_exclusion_rationale():
+    """Pin WHY NonLinearApproximation is excluded from _EDIT_CONFIGS:
+    when an exp-family segment wins, the decode is a*exp(b*x) —
+    nonlinear in b — so doubling every coefficient does NOT double the
+    curve. If this ever stops failing (e.g. the family set changes),
+    reconsider including NeaTS in the edit sweep."""
+    import numpy as np
+
+    from tersets_spark.kernels import registry
+    from tersets_spark.kernels.extract import extract, rebuild
+    from tersets_spark.methods import Method
+
+    x = np.arange(200, dtype=np.float64)
+    v = 3.0 * np.exp(0.04 * x)  # clean exponential → fam-2 segment
+    blob = registry.compress(v, Method.NonLinearApproximation, {"abs_error_bound": 0.5})
+    idx, coeffs, m2 = extract(blob)
+    fams = idx[1 : 1 + int(idx[0])]
+    if not (fams == 2).any():  # pragma: no cover - guards the premise
+        import pytest
+
+        pytest.skip("encoder no longer picks the exp family here")
+    base = registry.decompress(blob)
+    out = registry.decompress(rebuild(idx, coeffs * 2.0, m2))
+    assert not np.array_equal(out, base * 2.0)
