@@ -62,19 +62,68 @@ def pack_bits(values: np.ndarray, widths) -> bytes:
     zero widths are legal and contribute no bits. Fixed (scalar) widths
     take a 2-D broadcast fast path.
     """
-    values = np.ascontiguousarray(values, dtype=np.uint64)
-    n = values.shape[0]
     if np.isscalar(widths) or getattr(widths, "ndim", 1) == 0:
         w = int(widths)
+        n = values.shape[0]
         if n == 0 or w == 0:
             return b""
-        # byte-level fast path: explode to 1 byte/bit (not 8) via
-        # unpackbits on the value bytes, reorder to MSB-first, packbits.
-        nbytes = (w + 7) // 8
-        lo = values.astype("<u8").view(np.uint8).reshape(n, 8)[:, :nbytes]
-        bits_le = np.unpackbits(lo, axis=1, bitorder="little")  # bit k = (v>>k)&1
-        msb_first = bits_le[:, w - 1 :: -1]
-        return np.packbits(msb_first.reshape(-1)).tobytes()
+        # round-6 fast paths (measured on the Chimp batch encoder —
+        # flags 1-bit ~7x, 12-bit headers ~4x): every path produces the
+        # identical MSB-first stream as the generic bit-explode below.
+        # Work in the SMALLEST uint dtype that holds w bits — the
+        # conversion copy (and every later pass) then moves 2-8x fewer
+        # bytes than an unconditional uint64 upcast.
+        if w == 1:
+            # packbits is already MSB-first 1-bit packing
+            v8 = values if values.dtype == np.uint8 else values.astype(np.uint8)
+            return np.packbits(v8 & np.uint8(1)).tobytes()
+        isz = next(s for s in (1, 2, 4, 8) if 8 * s >= w)
+        work = np.dtype(f"u{isz}")
+        v = values if values.dtype == work else values.astype(work)
+        if w % 8 == 0:
+            # whole bytes: MSB-first == trailing big-endian byte slice
+            nbytes = w // 8
+            be = (
+                np.ascontiguousarray(v)
+                .astype(f">u{isz}")
+                .view(np.uint8)
+                .reshape(n, isz)[:, isz - nbytes :]
+            )
+            return np.ascontiguousarray(be).tobytes()
+        if w == 12:
+            # the Chimp header width: two 12-bit values = three bytes,
+            # computed pairwise (~3x over the nibble explode)
+            v16 = v if v.dtype == np.uint16 else v.astype(np.uint16)
+            head = v16[: (n // 2) * 2].reshape(-1, 2)
+            out = np.empty((head.shape[0], 3), dtype=np.uint8)
+            out[:, 0] = head[:, 0] >> 4
+            out[:, 1] = ((head[:, 0] & 0xF) << 4) | (head[:, 1] >> 8)
+            out[:, 2] = head[:, 1] & 0xFF
+            if n % 2:  # trailing lone value: 12 bits + 4 zero pad bits
+                last = int(v16[-1])
+                return out.tobytes() + bytes([last >> 4, (last & 0xF) << 4])
+            return out.tobytes()
+        if w % 4 == 0:
+            # nibble explode (4 bits/cell, 4x fewer cells than bits)
+            k = w // 4
+            shifts = (np.uint64(4) * np.arange(k - 1, -1, -1)).astype(work)
+            nibs = (
+                ((v[:, None] >> shifts[None, :]) & work.type(0xF))
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+            if nibs.size % 2:
+                nibs = np.concatenate([nibs, np.zeros(1, np.uint8)])
+            pairs = nibs.reshape(-1, 2)
+            return ((pairs[:, 0] << 4) | pairs[:, 1]).tobytes()
+        # generic: explode to 1 byte/bit via unpackbits on the
+        # BIG-endian value bytes (already MSB-first — a forward column
+        # slice, no reversed-stride copy), then packbits.
+        be = np.ascontiguousarray(v).astype(f">u{isz}").view(np.uint8)
+        bits = np.unpackbits(be).reshape(n, 8 * isz)[:, 8 * isz - w :]
+        return np.packbits(bits.reshape(-1)).tobytes()
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    n = values.shape[0]
     widths = np.asarray(widths, dtype=np.int64)
     if n == 0 or widths.sum() == 0:
         return b""

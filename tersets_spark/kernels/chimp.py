@@ -40,37 +40,42 @@ from .bitstream import pack_bits, unpack_bits
 
 
 def _leading_zeros(u: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros for uint64 (0 -> 64)."""
+    """Vectorized count-leading-zeros for uint64 (0 -> 64).
+
+    One float64 conversion: the exponent of float(u) is floor(log2 u)
+    EXCEPT when rounding to 53 bits bumps u up to the next power of two
+    (u in [2^k - 2^(k-54), 2^k)); the one-shift check repairs exactly
+    that case. Round-6 rewrite — the previous two-conversion hi/lo
+    split cost ~2x (measured, KERNELS batch work)."""
     u = np.asarray(u, dtype=np.uint64)
-    out = np.full(u.shape, 64, dtype=np.int64)
-    nz = u != 0
-    if nz.any():
-        # float64 exponent trick is exact for the *high* bits: shift right
-        # so at most 53 significant bits remain, keeping clz exact.
-        hi = u[nz] >> np.uint64(11)
-        # bitlength(u) = exp(hi) + 12 when hi > 0 (exact: hi has <= 53 bits)
-        lz = np.where(
-            hi > 0,
-            52 - (((hi.astype(np.float64)).view(np.uint64) >> np.uint64(52)).astype(np.int64) - 1023),
-            64,
-        )
-        # values whose only set bits are in the low 11 bits
-        low_only = hi == 0
-        if low_only.any():
-            lo = u[nz][low_only].astype(np.float64)
-            lz_lo = 63 - (((lo).view(np.uint64) >> np.uint64(52)).astype(np.int64) - 1023)
-            lz = lz.copy()
-            lz[low_only] = lz_lo
-        out[nz] = lz
-    return out
+    e = (
+        (u.astype(np.float64).view(np.uint64) >> np.uint64(52)).astype(np.int64)
+        - 1023
+    )
+    # clip first: bitlength <= 64 caps floor(log2) at 63 (values just
+    # under 2^64 round UP to 2^64 → raw e == 64), and u == 0 gives a
+    # negative raw exponent that must not become a negative shift
+    e = np.clip(e, 0, 63)
+    # rounding may claim one power too high: then u >> e == 0
+    e = e - ((u >> e.astype(np.uint64)) == 0)
+    return np.where(u == 0, 64, 63 - e)
 
 
 def _trailing_zeros(u: np.ndarray) -> np.ndarray:
-    """Vectorized count-trailing-zeros for uint64 (0 -> 64)."""
+    """Vectorized count-trailing-zeros for uint64 (0 -> 64).
+
+    The isolated lowest set bit is a power of two <= 2^63, which
+    converts to float64 EXACTLY — its exponent IS the trailing-zero
+    count, no correction needed (round-6 rewrite, ~4x)."""
     u = np.asarray(u, dtype=np.uint64)
-    isolated = u & (np.uint64(0) - u)  # lowest set bit
-    lz = _leading_zeros(isolated)
-    return np.where(u == 0, 64, 63 - lz)
+    isolated = u & (np.uint64(0) - u)  # lowest set bit (0 for u == 0)
+    t = (
+        (isolated.astype(np.float64).view(np.uint64) >> np.uint64(52)).astype(
+            np.int64
+        )
+        - 1023
+    )
+    return np.where(u == 0, 64, t)
 
 
 def _pad_count(cnt: int, w: int) -> int:
@@ -233,80 +238,111 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     return blobs  # type: ignore[return-value]
 
 
+def _padded_scatter_dst(counts: np.ndarray, pads: np.ndarray) -> np.ndarray:
+    """Destination indices that lay ``counts[i]`` consecutive values into
+    blocks of ``pads[i]`` slots (zero-gap padding between blocks):
+    original position + the cumulative padding gap of preceding blocks.
+    One repeat + one arange — ~40% less index traffic than the
+    repeat(starts) + segment_intra_indices formulation (round 6)."""
+    gaps = np.cumsum(pads - counts) - (pads - counts)
+    return np.arange(int(counts.sum()), dtype=np.int64) + np.repeat(gaps, counts)
+
+
 def _batch_xor_section_bytes(xors, xrow, m_r, n_rows):
     """Shared batch section builder: given the concatenated per-row xor
     streams, produce per-row flag/header/payload byte sections (the same
     padded layout _encode_xor_sections emits, packed GLOBALLY with one
     fixed-width call per section kind / payload width)."""
-    from .bitstream import segment_intra_indices
-
     # ---- flags section: global fixed-width pack, per-row padded to x8
+    nzmask = xors != 0  # shared by the flags scatter and the header gather
     fpad = m_r + (-m_r) % 8
-    fvals = np.zeros(int(fpad.sum()), dtype=np.uint64)
-    dst = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], m_r) + (
-        segment_intra_indices(m_r)
-    )
-    fvals[dst] = (xors != 0).astype(np.uint64)
+    fvals = np.zeros(int(fpad.sum()), dtype=np.uint8)  # u8: packbits input
+    fvals[_padded_scatter_dst(m_r, fpad)] = nzmask
     flags_packed = memoryview(pack_bits(fvals, 1))
     f_bytes = fpad // 8
     f_boff = np.concatenate(([0], np.cumsum(f_bytes)))
     # ---- headers section
-    ch = np.flatnonzero(xors != 0)
+    ch = np.flatnonzero(nzmask)
     changed = xors[ch]
     crow = xrow[ch]
     c_r = np.bincount(crow, minlength=n_rows).astype(np.int64)
-    c_off = np.concatenate(([0], np.cumsum(c_r)))
-    lz = _leading_zeros(changed)
-    tz = _trailing_zeros(changed)
-    sig = (64 - lz - tz).astype(np.int64)
-    vals = changed >> tz.astype(np.uint64)
-    headers = (lz.astype(np.uint64) << np.uint64(6)) | tz.astype(np.uint64)
-    hpad = c_r + (-c_r) % 2
-    hvals = np.zeros(int(hpad.sum()), dtype=np.uint64)
-    dst = np.repeat(np.concatenate(([0], np.cumsum(hpad)))[:-1], c_r) + (
-        segment_intra_indices(c_r)
+    # nonzero-specialized lz/tz (changed has no zeros): skips the
+    # u == 0 selects of the public helpers
+    e = (
+        changed.astype(np.float64).view(np.uint64) >> np.uint64(52)
+    ).astype(np.int64) - 1023
+    e = np.minimum(e, 63)
+    e -= (changed >> e.astype(np.uint64)) == 0
+    lz = 63 - e
+    iso = changed & (np.uint64(0) - changed)
+    tzu = (iso.astype(np.float64).view(np.uint64) >> np.uint64(52)) - np.uint64(
+        1023
     )
-    hvals[dst] = headers
+    tz = tzu.astype(np.int64)
+    sig = 64 - lz - tz
+    vals = changed >> tzu
+    # 12-bit headers fit uint16 — the scatter array and the nibble pack
+    # then move 4x fewer bytes than uint64
+    headers = ((lz << 6) | tz).astype(np.uint16)
+    hpad = c_r + (-c_r) % 2
+    hvals = np.zeros(int(hpad.sum()), dtype=np.uint16)
+    hvals[_padded_scatter_dst(c_r, hpad)] = headers
     headers_packed = memoryview(pack_bits(hvals, 12))
     h_bytes = hpad * 12 // 8
     h_boff = np.concatenate(([0], np.cumsum(h_bytes)))
-    # ---- payload: per width, pack all rows' cells at once
-    # cells keyed (row, width); values within a cell keep original order
+    # ---- payload: ONE width-major stable sort + ONE global padded
+    # scatter; per width the padded values are then a contiguous SLICE
+    # (no per-width gathers), and per-cell byte ranges fall out of one
+    # global cumsum. Round-6 rewrite of the (row, width)-major variant
+    # — the width-major key visits each row's cells in ascending-width
+    # order exactly as the blob layout requires, and a uint16 key takes
+    # numpy's radix argsort (~7x over 64-bit stable merge sort).
     payload_parts: dict[int, list[bytes]] = {r: [] for r in range(n_rows)}
     if ch.size:
-        order = np.lexsort((np.arange(ch.size), sig, crow))  # (row, w, pos)
-        s_sig = sig[order]
-        s_row = crow[order]
-        s_val = vals[order]
+        if n_rows <= 1008:  # 65 * 1008 < 2^16
+            key = (sig * np.int64(n_rows + 1) + crow).astype(np.uint16)
+        else:
+            key = (sig * np.int64(n_rows + 1) + crow).astype(np.uint32)
+        order = np.argsort(key, kind="stable")  # (w, row, original pos)
+        s_key = key[order]  # ONE small-dtype gather; (w, row) decoded
+        s_val = vals[order]  # from cell-boundary keys only, below
         # cell boundaries in the sorted stream
-        cell_break = np.flatnonzero(
-            (s_sig[1:] != s_sig[:-1]) | (s_row[1:] != s_row[:-1])
-        ) + 1
+        cell_break = np.flatnonzero(s_key[1:] != s_key[:-1]) + 1
         cstarts = np.concatenate(([0], cell_break))
-        cends = np.concatenate((cell_break, [s_sig.size]))
-        c_w = s_sig[cstarts]
-        c_rw = s_row[cstarts]
+        cends = np.concatenate((cell_break, [s_key.size]))
+        ckey = s_key[cstarts].astype(np.int64)
+        c_w = ckey // np.int64(n_rows + 1)  # ascending (width-major)
+        c_rw = ckey % np.int64(n_rows + 1)
         c_cnt = cends - cstarts
-        for w in np.unique(c_w):
-            wsel = np.flatnonzero(c_w == w)
-            cnts = c_cnt[wsel]
-            pads = np.array([_pad_count(int(c), int(w)) for c in cnts], dtype=np.int64)
-            gv = np.zeros(int(pads.sum()), dtype=np.uint64)
-            dst = np.repeat(np.concatenate(([0], np.cumsum(pads)))[:-1], cnts) + (
-                segment_intra_indices(cnts)
-            )
-            src = np.repeat(cstarts[wsel], cnts) + segment_intra_indices(cnts)
-            gv[dst] = s_val[src]
-            packed = memoryview(pack_bits(gv, int(w)))
-            b_off = np.concatenate(([0], np.cumsum(pads * int(w) // 8)))
-            for k, ci in enumerate(wsel):
-                payload_parts[int(c_rw[ci])].append(
-                    bytes(packed[b_off[k] : b_off[k + 1]])
+        # per-cell pad counts, vectorized: g = 8 / gcd(w, 8) by table
+        g_tab = (8 // np.gcd(np.arange(65, dtype=np.int64), 8)).astype(np.int64)
+        g_c = g_tab[c_w]
+        pads = c_cnt + (-c_cnt) % g_c
+        pstarts = np.concatenate(([0], np.cumsum(pads)))
+        gv = np.zeros(int(pstarts[-1]), dtype=np.uint64)
+        gv[_padded_scatter_dst(c_cnt, pads)] = s_val
+        # per-cell byte offsets within the global packed stream
+        cell_bytes = pads * c_w // 8
+        boffs = np.concatenate(([0], np.cumsum(cell_bytes)))
+        # width group boundaries: pack each width's contiguous slice
+        wbreak = np.flatnonzero(c_w[1:] != c_w[:-1]) + 1
+        wstarts = np.concatenate(([0], wbreak))
+        wends = np.concatenate((wbreak, [c_w.size]))
+        chunks: list[memoryview] = []
+        for ws, we in zip(wstarts, wends):
+            chunks.append(
+                memoryview(
+                    pack_bits(gv[pstarts[ws] : pstarts[we]], int(c_w[ws]))
                 )
-    # NB: payload cells appended per width ASCENDING because np.unique is
-    # sorted and cells within a width were visited in row order — but a
-    # row's cells must be ordered by ITS widths ascending, which this
-    # gives since each row receives its cells as widths iterate upward.
+            )
+        packed = memoryview(b"".join(chunks)) if len(chunks) > 1 else chunks[0]
+        rows_l = c_rw.tolist()
+        lo_l = boffs[:-1].tolist()
+        hi_l = boffs[1:].tolist()
+        for r, lo, hi in zip(rows_l, lo_l, hi_l):
+            payload_parts[r].append(bytes(packed[lo:hi]))
+    # NB: a row receives its cells in ascending-width order because the
+    # sort is width-major — exactly the order the row layout requires.
     return flags_packed, f_boff, headers_packed, h_boff, payload_parts
 
 

@@ -95,3 +95,40 @@ def test_property_random_token_arrays(seed: int) -> None:
     for method in LOSSLESS_IMPLEMENTED:
         out = decompress(compress(v, method))
         assert np.array_equal(out.astype(np.int32), tokens), method.name
+
+
+def test_chimp64_batch_beats_single_ab():
+    """Round-6 verdict #6: the batched Chimp64 encoder must beat the
+    single-series path per core on the bench-corpus shape (64 x 4096
+    token rows). Same-process interleaved pairs with a median-of-ratios
+    readout so a hypervisor throttle window can't flip the verdict; the
+    gate is 1.15x (noise floor) while the measured median is ~1.5x
+    (recorded in KERNELS.md)."""
+    import time
+
+    import numpy as np
+
+    from tersets_spark.kernels import chimp
+
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 131072, 4096).astype(np.float64) for _ in range(64)]
+    flat = np.concatenate(rows)
+    offs = np.zeros(65, dtype=np.int64)
+    offs[1:] = np.cumsum([r.size for r in rows])
+    # correctness first: byte-identity is the precondition of the race
+    blobs = chimp.compress_batch(flat, offs)
+    assert all(
+        blobs[i] == chimp.compress_chimp64(r) + bytes([19])
+        for i, r in enumerate(rows)
+    )
+    ratios = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        for r in rows:
+            chimp.compress_chimp64(r)
+        s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chimp.compress_batch(flat, offs)
+        ratios.append(s / (time.perf_counter() - t0))
+    ratios.sort()
+    assert ratios[4] >= 1.15, f"median batch speedup {ratios[4]:.2f}x, all={ratios}"
