@@ -117,6 +117,18 @@ def _rerun_reason(runs: "list[tuple[float, float]]", gate: float = _PAR_GATE):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # OFFICIAL numbers are measured at a SUB-CAP parallelism (round-6
+    # verdict #2): with its burst pool drained this host sustains only
+    # ~4.7 core-equivalents (CLAUDE.md), so a local[32] region can
+    # never probe calm and every r5 artifact number was 1.6-3.6x
+    # throttle-inflated. local[8] is the largest level the host can
+    # actually hold calm — the artifact headline is measured there and
+    # the requested full parallelism is reported as a secondary stanza
+    # (detail.full_parallelism) instead of silently polluting the
+    # headline.
+    official_cpus = int(
+        os.environ.get("SPARK_GRAFT_OFFICIAL_CPUS", str(min(cpus, 8)))
+    )
     sf = _sf_from_dir(sf_dir)
 
     from pyspark.sql import functions as F
@@ -130,7 +142,9 @@ def main() -> None:
     from tersets_spark.session import get_spark
     from tersets_spark.sources.synth import synth_tokens
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        "bench", cores=official_cpus, shuffle_partitions=max(official_cpus, 8)
+    )
 
     timings: dict[str, float] = {}
 
@@ -210,7 +224,8 @@ def main() -> None:
                 "total_tokens": int(total_tokens),
                 "compress_ratio": round(float(agg["rb"]) / float(agg["cb"]), 3),
                 "rollup_rows": int(n_roll),
-                "cpus": cpus,
+                "cpus": official_cpus,
+                "requested_cpus": cpus,
                 "calm_probe_ms": round(probe_s * 1000, 1),
                 "par_probe_ratio": round(par_ratio, 2),
                 "flagship_probe_ratios": flag_probes,
@@ -248,12 +263,46 @@ def main() -> None:
     secondary["minhash_jaccard_dups"] = lambda sp, d: entrymod.minhash_pairs(
         sp, d, n_hashes=16, bands=4
     )
+    # ivf_ann_topk phase split (round-6 verdict #3): at 100 TB the
+    # k-means training + full-corpus index build is an amortized
+    # lifecycle phase while probe-path queries run hot — time them
+    # separately; ivf_ann_query is the round-over-round compare number,
+    # ivf_ann_topk stays the build+query total for artifact continuity.
+    ivf_phases: dict[str, list] = {"build": [], "query": []}
+
+    def run_ivf_split(sp, d) -> None:
+        from tersets_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk,
+            train_centroids,
+        )
+
+        emb = entrymod._embeddings(sp, d).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "embedding"
+            ),
+        )
+        queries = emb.filter(F.col("vec_id") < 20)
+        t0 = time.time()
+        cents = train_centroids(emb, n_cells=32)
+        index = build_ivf_index(emb, cents)
+        build_s = time.time() - t0
+        t0 = time.time()
+        ivf_topk(emb, queries, cents, k=5, nprobe=8, index=index).count()
+        query_s = time.time() - t0
+        index.unpersist()
+        ivf_phases["build"].append(build_s)
+        ivf_phases["query"].append(query_s)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     _CACHEY = ("minhash_jaccard_dups", "ivf_ann_topk")
 
     def run_one(name: str) -> float:
         t0 = time.time()
-        secondary[name](spark, sf_dir).count()
+        if name == "ivf_ann_topk":
+            run_ivf_split(spark, sf_dir)  # phase-split runner, same total
+        else:
+            secondary[name](spark, sf_dir).count()
         dt = time.time() - t0
         if name in _CACHEY:
             # these pipelines persist internal state (candidate set /
@@ -338,6 +387,44 @@ def main() -> None:
             "probe": round(rpar, 2),
         }
 
+    # phase-split readout: min per phase over the same passes (build and
+    # query each take their own min — a throttle window covering one
+    # phase of one pass can't poison the other phase's best)
+    if ivf_phases["build"]:
+        timings["ivf_ann_build"] = round(min(ivf_phases["build"]), 3)
+        timings["ivf_ann_query"] = round(min(ivf_phases["query"]), 3)
+
+    # ---- secondary stanza: the requested full parallelism (flagship
+    # only, fresh JVM) — reported, never the headline
+    full_stanza = None
+    if cpus > official_cpus and not os.environ.get(
+        "SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"
+    ):
+        spark.stop()
+        spark = get_spark(
+            "bench_full", cores=cpus, shuffle_partitions=max(cpus, 8)
+        )
+        toks = synth_tokens(spark, n_docs, partitions=parts).persist()
+        # warm the fresh JVM's Python workers outside the timed region
+        fused_compress_rollup(
+            synth_tokens(spark, 64), Method.BitPackedDeltaEncoding
+        ).agg(F.count("*")).collect()
+        toks.agg(F.count("*")).collect()  # materialize the cache
+        full_runs = []
+        for _ in range(2):
+            par_f = _parallel_probe()
+            full_runs.append((run_flagship(), par_f))
+        calm_f = [r for r, p in full_runs if p <= _PAR_GATE] or [
+            r for r, _ in full_runs
+        ]
+        f_sec = min(r[0] for r in calm_f)
+        full_stanza = {
+            "cpus": cpus,
+            "flagship_s": round(f_sec, 3),
+            "tokens_per_sec": round(total_tokens / f_sec, 1),
+            "probe_ratios": [round(p, 2) for _, p in full_runs],
+        }
+
     out = {
         "metric": "tokens_per_sec",
         "value": round(tokens_per_sec, 1),
@@ -349,7 +436,16 @@ def main() -> None:
             "total_tokens": int(total_tokens),
             "compress_ratio": round(float(agg["rb"]) / float(agg["cb"]), 3),
             "rollup_rows": int(n_roll),
-            "cpus": cpus,
+            "cpus": official_cpus,
+            "requested_cpus": cpus,
+            "normalization": (
+                f"official numbers measured at local[{official_cpus}] — the "
+                "largest parallelism this host can hold calm (drained "
+                "steady state ~4.7 core-equivalents; r5's local[32] "
+                "artifact was 1.6-3.6x throttle-inflated); the requested "
+                "parallelism runs as detail.full_parallelism"
+            ),
+            "full_parallelism": full_stanza,
             "calm_probe_ms": round(probe_s * 1000, 1),
             "par_probe_ratio": round(par_ratio, 2),
             # per-run host-state evidence (r4 verdict #2/#7): every
@@ -367,7 +463,12 @@ def main() -> None:
             "query_overrides": {
                 "minhash_jaccard_dups": "n_hashes=16 bands=4 (bench scale)",
                 "minhash_jaccard_64x16": "n_hashes=64 bands=16 (correctness config, 1 pass)",
-                "ivf_ann_topk": "index rebuilt per pass (cache cleared; r03 pass-2 reused pass-1's leaked cache)",
+                "ivf_ann_topk": (
+                    "build+query total via the phase-split runner (index "
+                    "rebuilt per pass, cache cleared); ivf_ann_build / "
+                    "ivf_ann_query are the per-phase mins — compare "
+                    "ivf_ann_query round-over-round (r6 verdict #3)"
+                ),
             },
         },
     }
