@@ -1121,6 +1121,76 @@ _DEDUP_FUZZY_GROUPS_ORACLE = """
 """
 
 
+def _fuzzy_shrink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-shrink DECISION a training pipeline actually executes
+    (round 6): fuzzy groups joined back to the full corpus — per
+    source, how many docs survive keep-one dedup. Docs never seen in a
+    pair are kept; pair members survive iff they are their component's
+    minimum. Same bounded pair set as ``dedup_fuzzy_groups``."""
+    _prep(spark)
+    from tersets_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        resolve_duplicate_groups,
+    )
+
+    docs_all = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    docs = docs_all.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cands = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    groups = resolve_duplicate_groups(
+        ngram_jaccard_pairs(docs, cands, threshold=0.25)
+    )
+    joined = docs_all.join(
+        groups.select("doc_id", "is_survivor"), "doc_id", "left"
+    )
+    kept = F.when(
+        F.col("is_survivor").isNull() | F.col("is_survivor"), 1
+    ).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(1 - kept).cast("long").alias("n_dropped"),
+    )
+
+
+_FUZZY_SHRINK_ORACLE = """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> substring(text, i, 5))) AS s
+        FROM documents WHERE doc_id < 200
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.25
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(v, l) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v
+    ), lbl AS (
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN l.doc_id IS NULL OR l.doc_id = l.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id != l.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+    GROUP BY d.source
+"""
+
+
 _MINHASH_JACCARD_ORACLE = """
     WITH sh AS (
         SELECT doc_id,
@@ -2072,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_dups": _minhash_jaccard_query,
         "ngram_jaccard_verify": _ngram_jaccard_query,
         "dedup_fuzzy_groups": _dedup_fuzzy_groups_query,
+        "fuzzy_shrink_by_source": _fuzzy_shrink_query,
         "textstats": _textstats_query,
         "textprofile": _textprofile_query,
         "ann_topk": _ann_topk_query,
@@ -2148,6 +2219,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_dups": _MINHASH_JACCARD_ORACLE,
         "ngram_jaccard_verify": _NGRAM_JACCARD_ORACLE,
         "dedup_fuzzy_groups": _DEDUP_FUZZY_GROUPS_ORACLE,
+        "fuzzy_shrink_by_source": _FUZZY_SHRINK_ORACLE,
         "textstats": _TEXTSTATS_ORACLE,
         "textprofile": _TEXTPROFILE_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
