@@ -147,10 +147,57 @@ def unpack_bits(buf: bytes | np.ndarray, widths, bit_offset: int = 0) -> np.ndar
     widths = np.asarray(widths, dtype=np.int64)
     n = widths.shape[0]
     if n and widths[0] > 0 and (widths == widths[0]).all():
-        # fixed-width fast path: byte-level bit matrix, reorder to
-        # LSB-first, packbits back into little-endian value bytes
         w = int(widths[0])
         raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+        # round-6 fast paths mirroring pack_bits (bit_offset == 0 is
+        # every codec call site); all bit-identical to the generic
+        # matrix path below. A too-short buffer falls through to the
+        # generic path so corrupt blobs keep raising (fuzz contract).
+        if bit_offset == 0 and raw.size >= (n * w + 7) // 8:
+            if w == 1:
+                nb = (n + 7) // 8
+                return np.unpackbits(raw[:nb])[:n].astype(np.uint64)
+            if w % 8 == 0:
+                # big-endian byte columns summed by shift — nb <= 8
+                # vector ops, no per-bit explode
+                nb = w // 8
+                cols = raw[: n * nb].reshape(n, nb).astype(np.uint64)
+                out = cols[:, 0]
+                for j in range(1, nb):
+                    out = (out << np.uint64(8)) | cols[:, j]
+                return out
+            if w == 12:
+                # pairwise inverse of the 2-values-in-3-bytes pack
+                npairs = n // 2
+                tri = raw[: 3 * npairs].reshape(-1, 3).astype(np.uint64)
+                v = np.empty(n, dtype=np.uint64)
+                v[0 : 2 * npairs : 2] = (tri[:, 0] << np.uint64(4)) | (
+                    tri[:, 1] >> np.uint64(4)
+                )
+                v[1 : 2 * npairs : 2] = (
+                    (tri[:, 1] & np.uint64(0xF)) << np.uint64(8)
+                ) | tri[:, 2]
+                if n % 2:  # trailing lone value: 12 bits + 4 pad bits
+                    b0 = np.uint64(raw[3 * npairs])
+                    b1 = np.uint64(raw[3 * npairs + 1])
+                    v[-1] = (b0 << np.uint64(4)) | (b1 >> np.uint64(4))
+                return v
+            if w % 4 == 0:
+                # nibble gather: k <= 15 vector combines
+                k = w // 4
+                nnib = n * k
+                nb = (nnib + 1) // 2
+                b = raw[:nb].astype(np.uint64)
+                nibs = np.empty(nb * 2, dtype=np.uint64)
+                nibs[0::2] = b >> np.uint64(4)
+                nibs[1::2] = b & np.uint64(0xF)
+                m = nibs[:nnib].reshape(n, k)
+                out = m[:, 0]
+                for j in range(1, k):
+                    out = (out << np.uint64(4)) | m[:, j]
+                return out
+        # fixed-width generic: byte-level bit matrix, reorder to
+        # LSB-first, packbits back into little-endian value bytes
         total = n * w
         nbytes_needed = (bit_offset + total + 7) // 8
         bits = np.unpackbits(raw[:nbytes_needed])[bit_offset : bit_offset + total]
