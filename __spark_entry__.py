@@ -1859,6 +1859,102 @@ _STREAM_ROLLUP_PARITY_ORACLE = """
 """
 
 
+def _stream_dedup_parity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup batch parity (round 6): feed the first 200
+    docs plus 20 injected exact duplicates (doc_id + 10000, same text)
+    through the keyed stateful first-wins dedup
+    (streaming/dedup_stream.py) as 3 ascending micro-batches — the
+    duplicates arrive LAST, so first-arrival == min id and the
+    streaming survivor set must equal the batch ``dedup_exact``
+    survivor set over the identical augmented corpus. One summary row;
+    the oracle derives n_docs/n_unique/n_dropped independently from
+    ``documents`` via DuckDB md5 and gates all_match as all-true."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    _prep(spark)
+    from tersets_spark.operators.dedup import dedup_exact
+    from tersets_spark.streaming.dedup_stream import stream_dedup_exact
+
+    docs = (
+        _documents(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("doc_id") < 200)
+        .collect()
+    )  # bounded driver collect: 200 docs, orchestration only
+    dups = [(r.doc_id + 10000, r.text) for r in docs if r.doc_id < 20]
+    batches = [
+        [(r.doc_id, r.text) for r in docs if r.doc_id < 100],
+        [(r.doc_id, r.text) for r in docs if r.doc_id >= 100],
+        dups,
+    ]
+    schema = "doc_id long, text string"
+    tmp = tempfile.mkdtemp(prefix="tersets_stream_dedup_")
+    qname = "t_stream_dedup_" + uuid.uuid4().hex[:8]
+    try:
+        now = time.time()
+        for i, rows in enumerate(batches):
+            path = os.path.join(tmp, f"b{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            mt = now - 20 + 10 * i  # micro-batch order == arrival order
+            for root, _d, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root, f), (mt, mt))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "*"))
+        )
+        out = stream_dedup_exact(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {qname}").collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass  # query never registered the sink view
+    aug = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {r.doc_id for r in dedup_exact(aug).select("doc_id").collect()}
+    n_docs = sum(len(b) for b in batches)
+    return spark.createDataFrame(
+        [(n_docs, len(got), n_docs - len(got), bool(got == want))],
+        "n_docs long, n_unique long, n_dropped long, all_match boolean",
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ), aug AS (
+        SELECT doc_id, text FROM d
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM d WHERE doc_id < 20
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dropped,
+           true AS all_match
+    FROM aug
+"""
+
+
 def _embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via hyperplane LSH, HARD oracle:
     DuckDB replays the exact bucketing and cosine because both engines
@@ -2161,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_neardup_query,
         "stream_compact_parity": _stream_compact_query,
         "stream_rollup_parity": _stream_rollup_parity_query,
+        "stream_dedup_parity": _stream_dedup_parity_query,
         # whole-catalog gates (round-3 verdict #1: every method code
         # 0-26 must fit inside the driver's 50-row CORRECTNESS budget —
         # the per-method rows live on in extra_queries() and pytest)
@@ -2240,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_neardup_oracle(),
         "stream_compact_parity": _STREAM_COMPACT_ORACLE,
         "stream_rollup_parity": _STREAM_ROLLUP_PARITY_ORACLE,
+        "stream_dedup_parity": _STREAM_DEDUP_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "ivf_index_stats": _IVF_INDEX_STATS_ORACLE,
         # ivf_ann_topk: _kmeans is SQL-exact (sequential folds, RNG-free

@@ -147,3 +147,47 @@ def test_stream_compact_multichunk_group_ordering(spark, tmp_path):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_stream_dedup_first_wins(spark, tmp_path):
+    """Keyed stateful streaming dedup: first micro-batch arrival wins;
+    a duplicate WITHIN one batch resolves to the min doc_id; later
+    arrivals of a seen hash emit nothing."""
+    import os
+    import time
+    import uuid
+
+    from tersets_spark.streaming.dedup_stream import stream_dedup_exact
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(7, "alpha"), (3, "alpha"), (10, "beta")],   # in-batch dup: min=3
+        [(1, "alpha"), (11, "gamma")],                # late dup of alpha
+        [(12, "beta"), (13, "delta")],                # late dup of beta
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 20 + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "*"))
+    )
+    qname = "t_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {qname}").collect()}
+    assert got == {3, 10, 11, 13}
