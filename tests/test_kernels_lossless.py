@@ -132,3 +132,27 @@ def test_chimp64_batch_beats_single_ab():
         ratios.append(s / (time.perf_counter() - t0))
     ratios.sort()
     assert ratios[4] >= 1.15, f"median batch speedup {ratios[4]:.2f}x, all={ratios}"
+
+
+def test_chimp64_batch_u32_key_fallback():
+    """Batches wider than 1008 rows exceed the uint16 radix key space
+    and must take the uint32 stable-sort path — byte-identity holds on
+    both sides of the boundary."""
+    import numpy as np
+
+    from tersets_spark.kernels import chimp
+
+    rng = np.random.default_rng(9)
+    rows = [
+        rng.integers(0, 131072, int(n)).astype(np.float64)
+        for n in rng.integers(2, 40, 1500)
+    ]
+    flat = np.concatenate(rows)
+    offs = np.zeros(len(rows) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([r.size for r in rows])
+    blobs = chimp.compress_batch(flat, offs)
+    for i, r in enumerate(rows):
+        assert blobs[i] == chimp.compress_chimp64(r) + bytes([19]), i
+    fl, of = chimp.decompress_batch(blobs)
+    assert np.array_equal(fl.view(np.uint64), flat.view(np.uint64))
+    assert np.array_equal(of, offs)
