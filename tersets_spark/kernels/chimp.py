@@ -299,7 +299,11 @@ def _batch_xor_section_bytes(xors, xrow, m_r, n_rows):
     # numpy's radix argsort (~7x over 64-bit stable merge sort).
     payload_parts: dict[int, list[bytes]] = {r: [] for r in range(n_rows)}
     if ch.size:
-        if n_rows <= 1008:  # 65 * 1008 < 2^16
+        # max key = 64*(n_rows+1) + (n_rows-1) = 65*n_rows + 63; must
+        # fit uint16, so n_rows <= (65535-63)//65 = 1007. (1008 already
+        # overflows: 65*1008+63 = 65583, wrapping sig=64 cells in rows
+        # >= 960 onto keys 0-47 — silent blob corruption.)
+        if 65 * n_rows + 63 <= 0xFFFF:  # n_rows <= 1007
             key = (sig * np.int64(n_rows + 1) + crow).astype(np.uint16)
         else:
             key = (sig * np.int64(n_rows + 1) + crow).astype(np.uint32)

@@ -9,6 +9,9 @@ value equality including -0.0 and NaN payloads
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import pytest
 
@@ -19,6 +22,13 @@ from tersets_spark.kernels import registry
 LOSSLESS_IMPLEMENTED = sorted(
     (m for m in LOSSLESS_METHODS if m in registry.KERNELS), key=int
 )
+
+
+def _timed_sort(x: np.ndarray) -> float:
+    """One unit of the bench.py single-core calm probe (CLAUDE.md)."""
+    t0 = time.perf_counter()
+    np.sort(x.copy())
+    return time.perf_counter() - t0
 
 
 def _distributions(seed: int = 42) -> dict[str, np.ndarray]:
@@ -103,7 +113,13 @@ def test_chimp64_batch_beats_single_ab():
     token rows). Same-process interleaved pairs with a median-of-ratios
     readout so a hypervisor throttle window can't flip the verdict; the
     gate is 1.15x (noise floor) while the measured median is ~1.5x
-    (recorded in KERNELS.md)."""
+    (recorded in KERNELS.md).
+
+    Perf test (r6 ADVICE): a throttle window that lands on the batch
+    halves of the interleave can still flip the median, so the timing
+    is gated behind the single-core calm probe — skipped (not failed)
+    on a throttled host, or explicitly via SPARK_GRAFT_SKIP_PERF=1.
+    The byte-identity precondition always runs."""
     import time
 
     import numpy as np
@@ -121,6 +137,14 @@ def test_chimp64_batch_beats_single_ab():
         blobs[i] == chimp.compress_chimp64(r) + bytes([19])
         for i, r in enumerate(rows)
     )
+    if os.environ.get("SPARK_GRAFT_SKIP_PERF") == "1":
+        pytest.skip("perf timing skipped via SPARK_GRAFT_SKIP_PERF")
+    probe = np.random.default_rng(0).normal(0, 1, 1_000_000)
+    calm = min(
+        _timed_sort(probe) for _ in range(3)
+    )
+    if calm >= 0.040:
+        pytest.skip(f"host throttled (probe {calm*1e3:.0f} ms >= 40 ms)")
     ratios = []
     for _ in range(9):
         t0 = time.perf_counter()
@@ -135,9 +159,10 @@ def test_chimp64_batch_beats_single_ab():
 
 
 def test_chimp64_batch_u32_key_fallback():
-    """Batches wider than 1008 rows exceed the uint16 radix key space
-    and must take the uint32 stable-sort path — byte-identity holds on
-    both sides of the boundary."""
+    """Batches wider than 1007 rows exceed the uint16 radix key space
+    (max key = 65*n_rows + 63, which overflows 2^16 already at exactly
+    n_rows == 1008) and must take the uint32 stable-sort path —
+    byte-identity holds on both sides of the boundary."""
     import numpy as np
 
     from tersets_spark.kernels import chimp
@@ -156,3 +181,44 @@ def test_chimp64_batch_u32_key_fallback():
     fl, of = chimp.decompress_batch(blobs)
     assert np.array_equal(fl.view(np.uint64), flat.view(np.uint64))
     assert np.array_equal(of, offs)
+
+
+@pytest.mark.parametrize("n_rows", [1006, 1007, 1008, 1009])
+def test_chimp64_batch_u16_boundary_full_width(n_rows: int) -> None:
+    """r6 ADVICE (high): the uint16 radix key overflowed at exactly
+    n_rows == 1008 — key = sig*(n_rows+1)+crow with sig == 64 wraps for
+    rows >= 960, silently emitting width-0 cells for the wrong rows
+    (reproduced pre-fix: 48 corrupt blobs, CorruptBlobError on decode).
+    Pin the boundary: every row is a 2-value series whose xor has BOTH
+    bit 63 and bit 0 set (lz=0, tz=0 -> sig=64), so every row index up
+    to n_rows-1 carries a max-width cell. 1007 must take the uint16
+    path, 1008 the uint32 path; both must be byte-identical to the
+    single-series encoder and decode losslessly."""
+    import numpy as np
+
+    from tersets_spark.kernels import chimp
+
+    v0 = np.float64(1.0)
+    v1 = (
+        np.array([v0]).view(np.uint64) ^ np.uint64(0x8000000000000001)
+    ).view(np.float64)[0]
+    assert (
+        np.array([v0]).view(np.uint64)[0]
+        ^ np.array([v1]).view(np.uint64)[0]
+    ) == np.uint64(0x8000000000000001)
+    rows = [np.array([v0, v1], dtype=np.float64)] * n_rows
+    flat = np.concatenate(rows)
+    offs = np.arange(0, 2 * n_rows + 1, 2, dtype=np.int64)
+    blobs = chimp.compress_batch(flat, offs)
+    expect = chimp.compress_chimp64(rows[0]) + bytes([19])
+    for i in range(n_rows):
+        assert blobs[i] == expect, f"row {i} of {n_rows}"
+    fl, of = chimp.decompress_batch(blobs)
+    assert np.array_equal(fl.view(np.uint64), flat.view(np.uint64))
+    assert np.array_equal(of, offs)
+    # the overflow lived in the SHARED section helper — pin the
+    # chimp128 batch route through it at the same boundary
+    blobs128 = chimp.compress_batch_chimp128(flat, offs)
+    expect128 = chimp.compress_chimp128(rows[0]) + bytes([20])
+    for i in range(n_rows):
+        assert blobs128[i] == expect128, f"c128 row {i} of {n_rows}"
