@@ -101,11 +101,24 @@ def test_embedding_near_dups_finds_planted_pairs(spark):
     pairs = {
         (r.id_a, r.id_b)
         for r in embedding_near_dups(
-            emb, vec_col="embedding", id_col="vec_id", threshold=0.999
+            emb, vec_col="embedding", id_col="vec_id", threshold=0.999, dim=16
         ).collect()
     }
     planted = {(k, 119 - k) for k in range(5)}
     assert planted <= pairs, f"missed planted near-dups: {planted - pairs}"
+
+
+def test_embedding_near_dups_requires_dim(spark):
+    """r6 verdict #6: plan construction must be action-free — the old
+    dim=None fallback ran a full-table Spark job inside DataFrame
+    *construction*. Omitting dim now raises instead of scanning."""
+    import pytest as _pytest
+
+    from tersets_spark.operators.dedup import embedding_near_dups
+
+    emb, _ = _emb_df(spark)
+    with _pytest.raises(ValueError, match="requires dim"):
+        embedding_near_dups(emb, vec_col="embedding", id_col="vec_id")
 
 
 def test_brute_topk_numpy_matches_sql(spark):
@@ -203,6 +216,42 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == expected, f"mismatch on {pairs[:6]}..."
+
+
+def test_connected_components_mega_hub_star(spark):
+    """r6 verdict #4 (degree guard): round-1 behavior on a 10^5-star.
+
+    ``Window.partitionBy("u")`` puts ALL edges of a node in one task,
+    so the FIRST large-star round on a degenerate hub (one doc near-dup
+    to everything) is a single-task hotspot — the known property of the
+    Kiveris algorithm; large-star then breaks the star up, so rounds
+    after the first are balanced. This test pins that the hub round (a)
+    completes as one bounded window pass with no memory blow-up at
+    10^5 edges on one node, and (b) produces exact min-labels, with the
+    hub at the component MAX id so both star operations must actually
+    rewire through it. The production hardening if a real corpus ever
+    presents a 10^8-degree hub — a degree-salted two-phase min for
+    round 1 — is documented in ``connected_components``; at 10^5 the
+    plain window round is demonstrably fine (this test runs in
+    seconds), so the guard threshold sits well above anything LSH
+    bucket caps can emit (bucket_cap^2/2 pairs per bucket bounds the
+    degree a single bucket can contribute)."""
+    from tersets_spark.operators.dedup import connected_components
+
+    n = 100_000
+    hub = n + 7  # strictly larger than every leaf id
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("id_a"), F.lit(hub).alias("id_b"))
+    )
+    labels = connected_components(df)
+    agg = labels.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_id").alias("lo"),
+        F.max("cluster_id").alias("hi"),
+    ).first()
+    assert (agg["n"], agg["k"], agg["lo"], agg["hi"]) == (n + 1, 1, 0, 0)
 
 
 def test_connected_components_empty_pairs(spark):
