@@ -1005,7 +1005,29 @@ def minhash_pairs(
 
 
 def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_pairs(spark, sf_dir, n_hashes=64, bands=16)
+    """Full-corpus MinHash-LSH near-dup pairs with the AUDITABLE
+    signature path (round 7, closing the r6 sf0.1 oracle skip): the
+    md5-derived 60-bit minhashes are bit-identically replayable in
+    DuckDB (byte-swapped ``md5_number_upper``), so the oracle reruns
+    candidate generation EXACTLY instead of falling back to an
+    all-pairs Jaccard that is quadratic in corpus size — no recall
+    assumption, non-quadratic at every sf. The numpy rolling-hash
+    signature path stays as the bench/production fast path
+    (``minhash_pairs``; same banding/cap/verify operators downstream,
+    unit+property-tested)."""
+    _prep(spark)
+    from tersets_spark.operators.dedup import (
+        minhash_lsh_candidates_auditable,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    cands = minhash_lsh_candidates_auditable(docs).persist()
+    cands.count()  # materialize before the verify fan-out (r4/r5 trap)
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    return pairs.select("id_a", "id_b", _trunc(F.col("jaccard")).alias("jaccard"))
 
 
 def _ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,21 +1213,122 @@ _FUZZY_SHRINK_ORACLE = """
 """
 
 
-_MINHASH_JACCARD_ORACLE = """
-    WITH sh AS (
+def _fuzzy_corpus_shrink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION fuzzy-dedup flow end-to-end over the FULL corpus
+    (round-6 verdict #1): minhash-LSH candidates → exact n-gram-Jaccard
+    verify (>= 0.5) → connected components → deterministic keep-one
+    survivors → the per-source corpus-shrink decision a training
+    pipeline executes. Unlike ``dedup_fuzzy_groups`` (bounded
+    doc_id < 200 pair set, deep CC iteration), this row's pair set is
+    the REAL verifier's output over every document; the auditable md5
+    signature path makes the oracle an exact pipeline replay plus a
+    recursive-CTE min-label fixpoint — non-quadratic at every sf."""
+    _prep(spark)
+    from tersets_spark.operators.dedup import fuzzy_dedup_pipeline
+
+    docs_all = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    groups = fuzzy_dedup_pipeline(docs_all, signature="auditable")
+    joined = docs_all.join(
+        groups.select("doc_id", "is_survivor"), "doc_id", "left"
+    )
+    kept = F.when(
+        F.col("is_survivor").isNull() | F.col("is_survivor"), 1
+    ).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(1 - kept).cast("long").alias("n_dropped"),
+    )
+
+
+#: Spark's 60-bit signature hash is conv(substring(md5(g:seed),1,15),16,10);
+#: DuckDB replays it from md5_number_upper (little-endian first 8 digest
+#: bytes): byte-swap to big-endian, drop the low nibble (15 hex chars).
+#: Max term 255 * 2^52 < 2^63, so everything stays ANSI-safe in BIGINT.
+_BE60_SQL = """(
+        CAST((u      ) & 255 AS BIGINT) * 4503599627370496 +
+        CAST((u >>  8) & 255 AS BIGINT) * 17592186044416 +
+        CAST((u >> 16) & 255 AS BIGINT) * 68719476736 +
+        CAST((u >> 24) & 255 AS BIGINT) * 268435456 +
+        CAST((u >> 32) & 255 AS BIGINT) * 1048576 +
+        CAST((u >> 40) & 255 AS BIGINT) * 4096 +
+        CAST((u >> 48) & 255 AS BIGINT) * 16 +
+        CAST((u >> 56) & 255 AS BIGINT) // 16
+    )"""
+
+#: EXACT replay of minhash_lsh_candidates_auditable (30 hashes, 5 bands
+#: of 6 rows, bucket_cap 1024) + the ngram_jaccard_pairs verify at
+#: threshold 0.5 — the full-corpus pair set with NO quadratic stage and
+#: NO LSH-recall assumption (both engines run the identical pipeline).
+#: CTE chain ends at `vpairs`; heavy intermediates are MATERIALIZED so
+#: DuckDB's inliner does not re-expand them per consumer (CLAUDE.md).
+_MINHASH_AUDIT_CTES = f"""
+    sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(
                    generate_series(1, greatest(length(text) - 4, 1)),
                    i -> substring(text, i, 5))) AS s
         FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), hx AS (
+        SELECT e.doc_id, j.seed, md5_number_upper(e.g || ':' || j.seed) AS u
+        FROM ex e CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS seed) j
+    ), sigs AS MATERIALIZED (
+        SELECT doc_id, seed, min({_BE60_SQL}) AS mh
+        FROM hx GROUP BY doc_id, seed
+    ), buckets AS (
+        SELECT doc_id, seed // 6 AS band,
+               string_agg(mh::VARCHAR, ':' ORDER BY seed) AS bucket
+        FROM sigs GROUP BY doc_id, seed // 6
+    ), capped AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS c
+            FROM buckets
+        ) WHERE c <= 1024
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), vpairs AS MATERIALIZED (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    )"""
+
+_MINHASH_JACCARD_ORACLE = f"""
+    WITH {_MINHASH_AUDIT_CTES}
+    SELECT id_a, id_b, floor(j * 1e4) / 1e4 AS jaccard FROM vpairs
+"""
+
+#: exact replay of the full-corpus pipeline, then the min-label
+#: fixpoint over the verified pairs and the per-source shrink decision
+_FUZZY_CORPUS_SHRINK_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_AUDIT_CTES}
+    , edges AS (
+        SELECT id_a AS eu, id_b AS ev FROM vpairs
+        UNION
+        SELECT id_b AS eu, id_a AS ev FROM vpairs
+    ), reach(v, l) AS (
+        SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges) t
+        UNION
+        SELECT e.ev, r.l FROM reach r JOIN edges e ON e.eu = r.v
+    ), lbl AS (
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           floor((len(list_intersect(a.s, b.s))::DOUBLE
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e4) / 1e4 AS jaccard
-    FROM sh a, sh b
-    WHERE a.doc_id < b.doc_id
-      AND len(list_intersect(a.s, b.s))::DOUBLE
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN l.doc_id IS NULL OR l.doc_id = l.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id != l.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+    GROUP BY d.source
 """
 
 
@@ -2239,6 +2362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_verify": _ngram_jaccard_query,
         "dedup_fuzzy_groups": _dedup_fuzzy_groups_query,
         "fuzzy_shrink_by_source": _fuzzy_shrink_query,
+        # round 7 (r6 verdict #1): the production flow end-to-end over
+        # the FULL corpus, exact-replay oracle (50th and last slot)
+        "fuzzy_corpus_shrink": _fuzzy_corpus_shrink_query,
         "textstats": _textstats_query,
         "textprofile": _textprofile_query,
         "ann_topk": _ann_topk_query,
@@ -2317,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_verify": _NGRAM_JACCARD_ORACLE,
         "dedup_fuzzy_groups": _DEDUP_FUZZY_GROUPS_ORACLE,
         "fuzzy_shrink_by_source": _FUZZY_SHRINK_ORACLE,
+        "fuzzy_corpus_shrink": _FUZZY_CORPUS_SHRINK_ORACLE,
         "textstats": _TEXTSTATS_ORACLE,
         "textprofile": _TEXTPROFILE_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,

@@ -156,6 +156,84 @@ def minhash_lsh_candidates(
     )
 
 
+def _md5_hash60(col: F.Column, seed: int) -> F.Column:
+    """A 60-bit hash both engines compute bit-identically: the first 15
+    hex chars of ``md5(col || ':' || seed)`` as a number. Spark side is
+    one ``conv(substring(md5(...)))``; DuckDB reproduces it by byte-
+    swapping ``md5_number_upper`` (little-endian first-8-bytes) and
+    dropping the low nibble — see ``_MINHASH_AUDIT_SQL`` in the driver.
+    60 bits keeps the value ANSI-safe in a signed BIGINT in both
+    engines."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", col, F.lit(seed))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_lsh_candidates_auditable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = 30,
+    bands: int = 5,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH whose
+    signatures are **bit-identically replayable by an external SQL
+    engine** (the audit path): minhash_j(doc) = min over char-k-shingles
+    of a 60-bit md5-derived hash (:func:`_md5_hash60`), bands are
+    ':'-joined decimal strings of each band's row hashes. Same
+    (band, bucket) self-join + ``bucket_cap`` guard as the fast path.
+
+    This is what makes a FULL-CORPUS fuzzy-dedup flow hard-oracle
+    checkable without a quadratic all-pairs Jaccard on the oracle side
+    (the r6 sf0.1 skip): the oracle replays candidate generation
+    exactly, so verification only ever touches the same near-linear
+    candidate set in both engines — the SQL-exact-kernel playbook
+    (cf. ivf_ann_topk's replayed k-means).
+
+    Scale shape: explode to (doc, shingle) rows, compute the K hashes
+    per shingle JVM-side (whole-stage codegen, no Python), and take K
+    map-side-combinable ``min`` aggregates per doc — the shuffle after
+    partial aggregation is K longs per doc. The fast path
+    (:func:`minhash_lsh_candidates`, numpy rolling-hash signatures) is
+    ~2x cheaper per signature and remains the bench/production default;
+    both paths share banding, cap, join, and verify semantics."""
+    rows = n_hashes // bands
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, k_shingle)).alias("_g"),
+    ).select(
+        "_id",
+        *[_md5_hash60(F.col("_g"), j).alias(f"_h{j}") for j in range(n_hashes)],
+    )
+    sig = ex.groupBy("_id").agg(
+        *[F.min(f"_h{j}").alias(f"mh_{j}") for j in range(n_hashes)]
+    )
+    band_cols = [
+        F.concat_ws(
+            ":", *[F.col(f"mh_{b * rows + i}").cast("string") for i in range(rows)]
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
 def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     """Degenerate-bucket guard for LSH self-joins: a bucket of b members
     produces b^2/2 candidate pairs, so ONE boilerplate/empty-text bucket
@@ -263,6 +341,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair set via alternating
     large-star/small-star — the scale-safe MapReduce CC algorithm
@@ -326,6 +405,7 @@ def connected_components(
 
     prev = checksum(edges)
     converged = prev[0] == 0  # no edges → nothing to iterate
+    rounds = 0
     for _ in range(max_iter):
         if converged:
             break
@@ -334,9 +414,12 @@ def connected_components(
         new_edges = _star_round(edges).localCheckpoint(eager=True)
         cur = checksum(new_edges)
         edges = new_edges
+        rounds += 1
         if cur == prev:
             converged = True
         prev = cur
+    if stats is not None:
+        stats["cc_rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
@@ -354,6 +437,7 @@ def resolve_duplicate_groups(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve verified near-duplicate PAIRS into duplicate GROUPS with
     deterministic keep-one survivors — the stage that actually shrinks
@@ -362,7 +446,9 @@ def resolve_duplicate_groups(
     that appears in a pair; the survivor is the component-minimum doc id
     (== ``cluster_id``), so downstream keeps ``is_survivor`` rows plus
     all docs never seen in a pair."""
-    labels = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    labels = connected_components(
+        pairs, src=src, dst=dst, max_iter=max_iter, stats=stats
+    )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -370,6 +456,64 @@ def resolve_duplicate_groups(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+def fuzzy_dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.5,
+    n_hashes: int = 30,
+    bands: int = 5,
+    bucket_cap: int | None = 1024,
+    signature: str = "auditable",
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The PRODUCTION fuzzy-dedup flow end-to-end over a full corpus
+    (r6 verdict #1): MinHash-LSH candidates → exact n-gram-Jaccard
+    verify → connected components → deterministic keep-one survivors.
+    Returns ``(doc_id, cluster_id, cluster_size, is_survivor)`` for
+    every doc that appears in a VERIFIED pair; downstream keeps
+    ``is_survivor`` rows plus all docs never paired (the reference
+    asserts its entry points end-to-end the same way —
+    src/tersets.zig:887-888 round-trips compress→decompress rather than
+    stopping at intermediate state).
+
+    ``signature='auditable'`` (default) uses the SQL-replayable md5
+    signatures so an external engine can reproduce the verified pair
+    set without quadratic work; ``'fast'`` uses the numpy rolling-hash
+    path (~2x cheaper signatures, bench/production default — identical
+    banding/cap/verify/CC semantics). ``stats`` (optional dict) gets
+    ``cc_rounds`` = star rounds until convergence.
+
+    Scale notes: the candidate cache is materialized before the verify
+    join fans out (the r4/r5 AQE broadcast-build trap, measured 14-50 s
+    vs 4-6 s); every downstream stage is the already-plan-audited
+    operator (capped LSH join, pair-restricted shingle materialization,
+    join-free star rounds with per-round localCheckpoint)."""
+    docs = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
+    make = (
+        minhash_lsh_candidates_auditable
+        if signature == "auditable"
+        else minhash_lsh_candidates
+    )
+    cands = make(
+        docs,
+        text_col=text_col,
+        id_col="doc_id",
+        k_shingle=k_shingle,
+        n_hashes=n_hashes,
+        bands=bands,
+        bucket_cap=bucket_cap,
+    ).persist()
+    cands.count()  # materialize BEFORE the 3-way fan-out read (see above)
+    pairs = ngram_jaccard_pairs(
+        docs, cands, text_col=text_col, id_col="doc_id",
+        k_shingle=k_shingle, threshold=threshold,
+    )
+    return resolve_duplicate_groups(pairs, max_iter=max_iter, stats=stats)
 
 
 def simhash_signatures(
