@@ -38,10 +38,19 @@ def compress_batch(
     ]
 
 
+_BATCH_DECOMPRESS = {
+    Method.BitPackedDeltaEncoding: delta.decompress_batch,
+    Method.Chimp64: chimp.decompress_batch,
+    Method.Chimp128: chimp.decompress_batch_chimp128,
+    Method.Elf: elf.decompress_batch,
+}
+
+
 def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of self-describing blobs -> (flat float64,
-    offsets). Delta and Chimp64 rows decode in global vectorized passes;
-    other methods fall back per row."""
+    offsets). All four lossless batch codecs (delta, Chimp64, Chimp128,
+    Elf) decode in global vectorized passes; other methods fall back
+    per row."""
     if not blobs:
         return np.empty(0, dtype=np.float64), np.zeros(1, dtype=np.int64)
     tails = np.fromiter(
@@ -49,8 +58,9 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     )
     # choose the dominant fast path; its batch decoder falls back per-row
     # for foreign blobs, so one call always suffices
-    n_delta = int((tails == int(Method.BitPackedDeltaEncoding)).sum())
-    n_chimp = int((tails == int(Method.Chimp64)).sum())
-    if n_chimp > n_delta:
-        return chimp.decompress_batch(blobs)
-    return delta.decompress_batch(blobs)
+    best, best_n = Method.BitPackedDeltaEncoding, -1
+    for meth in _BATCH_DECOMPRESS:
+        n = int((tails == int(meth)).sum())
+        if n > best_n:
+            best, best_n = meth, n
+    return _BATCH_DECOMPRESS[best](blobs)

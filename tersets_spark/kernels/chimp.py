@@ -428,156 +428,189 @@ def compress_batch_chimp128(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
     return blobs  # type: ignore[return-value]
 
 
-def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
-    """Batched inverse of :func:`compress_batch`; Chimp64 blobs decode in
-    a few global passes, anything else falls back per row."""
-    from . import registry
-    from .bitstream import segment_intra_indices
-
+def _batch_blob_layout(blobs: list[bytes], method_byte: int, min_len: int):
+    """Shared batch-decode preamble: concatenate blobs, find the rows
+    carrying ``method_byte`` with a plausible declared count and enough
+    bytes for the count + a 1-bit-per-value flag section. Returns
+    ``(buf, blob_lens, blob_off, is_fast, counts)`` — ``is_fast`` rows
+    are candidates for the global path (still re-validated against the
+    exact expected byte length before being trusted); everything else
+    goes to the per-row registry decoder."""
     n_rows = len(blobs)
     buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
     blob_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n_rows)
     blob_off = np.concatenate(([0], np.cumsum(blob_lens)))
-    is_c64 = np.zeros(n_rows, dtype=bool)
-    idx = np.flatnonzero(blob_lens >= 13)
+    is_fast = np.zeros(n_rows, dtype=bool)
+    idx = np.flatnonzero(blob_lens >= min_len)
     if idx.size:
-        is_c64[idx] = buf[blob_off[idx + 1] - 1] == _CHIMP64_BYTE
-    if is_c64.any():
+        is_fast[idx] = buf[blob_off[idx + 1] - 1] == method_byte
+    counts = np.zeros(n_rows, dtype=np.int64)
+    if is_fast.any():
         # corrupt-count guard (blocks are read back from storage): rows
         # whose declared count is implausible, or whose flag section
         # alone exceeds the blob, fall back to the per-row registry
         # decoder below (typed error instead of a multi-GB gather)
-        chk = np.flatnonzero(is_c64)
-        cnt2 = (
+        chk = np.flatnonzero(is_fast)
+        cnt = (
             buf[blob_off[chk][:, None] + np.arange(4)[None, :]]
             .copy()
             .view(np.uint32)
             .ravel()
             .astype(np.int64)
         )
-        m2 = np.maximum(cnt2 - 1, 0)
-        flag_bytes = (m2 + (-m2) % 8) // 8
-        ok2 = (cnt2 >= 2) & (cnt2 <= 1 << 27) & (
-            12 + flag_bytes + 1 <= blob_lens[chk]
+        m = np.maximum(cnt - 1, 0)
+        flag_bytes = (m + (-m) % 8) // 8
+        ok = (cnt >= 2) & (cnt <= 1 << 27) & (
+            min_len - 1 + flag_bytes <= blob_lens[chk]
         )
-        is_c64[chk[~ok2]] = False
-    counts = np.zeros(n_rows, dtype=np.int64)
+        is_fast[chk[~ok]] = False
+        counts[chk[ok]] = cnt[ok]
+    return buf, blob_lens, blob_off, is_fast, counts
+
+
+def _batch_decode_xor_sections(buf, sec_starts, m_r):
+    """Decode the (flags, 12-bit headers, width-grouped payload) xor
+    sections of MANY rows in global fixed-width passes — the read-side
+    mirror of :func:`_batch_xor_section_bytes`. ``sec_starts[k]`` is the
+    absolute byte offset of row k's flag section in ``buf``; ``m_r[k]``
+    its xor-stream length. Returns ``(xors, consumed, bad_hdr)``:
+    ``xors`` the concatenated per-row xor streams, ``consumed[k]`` the
+    section byte total (callers validate it against the blob length
+    before trusting the row), ``bad_hdr`` rows whose headers claim
+    sig < 1 (corrupt; caller must route them to the per-row decoder).
+    Gather indices are clipped to the buffer — safe because callers
+    only accept rows whose ``consumed`` matches exactly."""
+    from .bitstream import segment_intra_indices
+
+    k_rows = sec_starts.size
+    # flags
+    fpad = m_r + (-m_r) % 8
+    f_bytes = fpad // 8
+    gidx = np.repeat(sec_starts, f_bytes) + segment_intra_indices(f_bytes)
+    gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated by caller
+    fbits = unpack_bits(buf[gidx], np.full(int(fpad.sum()), 1, np.int64))
+    # drop per-row pads
+    src = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], m_r) + (
+        segment_intra_indices(m_r)
+    )
+    flags = fbits[src].astype(bool)
+    xrow_l = np.repeat(np.arange(k_rows), m_r)
+    # headers
+    c_r = np.zeros(k_rows, dtype=np.int64)
+    if flags.size:
+        c_r = np.bincount(xrow_l[flags], minlength=k_rows).astype(np.int64)
+    hpad = c_r + (-c_r) % 2
+    h_bytes = hpad * 12 // 8
+    h_starts = sec_starts + f_bytes
+    gidx = np.repeat(h_starts, h_bytes) + segment_intra_indices(h_bytes)
+    gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated by caller
+    hbits = unpack_bits(buf[gidx], np.full(int(hpad.sum()), 12, np.int64))
+    src = np.repeat(np.concatenate(([0], np.cumsum(hpad)))[:-1], c_r) + (
+        segment_intra_indices(c_r)
+    )
+    headers = hbits[src]
+    lz = (headers >> np.uint64(6)).astype(np.int64)
+    tz = (headers & np.uint64(0x3F)).astype(np.int64)
+    sig = 64 - lz - tz
+    crow = np.repeat(np.arange(k_rows), c_r)
+    # corrupt headers can claim lz+tz > 63 -> sig < 1, which would
+    # size NEGATIVE payload cells; mark those rows for the registry
+    # path and clamp so the batch math stays well-formed
+    bad_hdr = np.zeros(k_rows, dtype=bool)
+    oob = sig < 1
+    if oob.any():
+        np.logical_or.at(bad_hdr, crow[oob], True)
+        sig = np.maximum(sig, 1)
+    # payload cells (row-major changed order; cells sorted by width
+    # within each row)
+    vals = np.empty(sig.size, dtype=np.uint64)
+    payload_bytes = np.zeros(k_rows, dtype=np.int64)
+    if sig.size:
+        order = np.lexsort((np.arange(sig.size), sig, crow))
+        s_sig = sig[order]
+        s_row = crow[order]
+        cell_break = np.flatnonzero(
+            (s_sig[1:] != s_sig[:-1]) | (s_row[1:] != s_row[:-1])
+        ) + 1
+        cstarts = np.concatenate(([0], cell_break))
+        c_w = s_sig[cstarts]
+        c_rw = s_row[cstarts]
+        c_cnt = np.concatenate((cell_break, [s_sig.size])) - cstarts
+        c_pad = np.array(
+            [_pad_count(int(c), int(w)) for c, w in zip(c_cnt, c_w)], dtype=np.int64
+        )
+        c_bytes = c_pad * c_w // 8
+        # absolute byte start of each cell: row payload start + within-row
+        # cumsum (cells are already sorted (row, w))
+        p_starts = h_starts + h_bytes  # per selected row
+        within = np.cumsum(c_bytes) - c_bytes
+        # rebase at each row's FIRST cell (rows with zero cells have
+        # no entries here, so index by cell runs, not by row id)
+        row_change = np.concatenate(([True], c_rw[1:] != c_rw[:-1]))
+        first_idx = np.flatnonzero(row_change)
+        run_len = np.diff(np.append(first_idx, c_rw.size))
+        within = within - np.repeat(within[first_idx], run_len)
+        c_abs = p_starts[c_rw] + within
+        sval = np.empty(s_sig.size, dtype=np.uint64)
+        for w in np.unique(c_w):
+            wsel = np.flatnonzero(c_w == w)
+            pads = c_pad[wsel]
+            gidx = np.repeat(c_abs[wsel], c_bytes[wsel]) + segment_intra_indices(
+                c_bytes[wsel]
+            )
+            gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated by caller
+            gv = unpack_bits(buf[gidx], np.full(int(pads.sum()), int(w), np.int64))
+            src = np.repeat(np.concatenate(([0], np.cumsum(pads)))[:-1], c_cnt[wsel]) + (
+                segment_intra_indices(c_cnt[wsel])
+            )
+            dst = np.repeat(cstarts[wsel], c_cnt[wsel]) + segment_intra_indices(
+                c_cnt[wsel]
+            )
+            sval[dst] = gv[src]
+        vals[order] = sval
+        np.add.at(payload_bytes, c_rw, c_bytes)
+    xors = np.zeros(flags.size, dtype=np.uint64)
+    xors[flags] = vals << tz.astype(np.uint64)
+    consumed = f_bytes + h_bytes + payload_bytes
+    return xors, consumed, bad_hdr
+
+
+def _rowwise_prefix_xor(xors: np.ndarray, firsts: np.ndarray, m_r: np.ndarray) -> np.ndarray:
+    """value bits for the non-first positions of every row: one global
+    xor-scan with per-row resets (G ^ G[row_start-1] ^ first[row])."""
+    if xors.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    x_off = np.concatenate(([0], np.cumsum(m_r)))
+    G = np.bitwise_xor.accumulate(xors)
+    g_before = np.zeros(m_r.size, dtype=np.uint64)
+    nz_rows = m_r > 0
+    row_start = x_off[:-1]
+    pick = nz_rows & (row_start > 0)
+    g_before[pick] = G[row_start[pick] - 1]
+    within = G ^ np.repeat(g_before, m_r)
+    return np.repeat(firsts, m_r) ^ within
+
+
+def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched inverse of :func:`compress_batch`; Chimp64 blobs decode in
+    a few global passes, anything else falls back per row."""
+    from . import registry
+
+    n_rows = len(blobs)
+    buf, blob_lens, blob_off, is_c64, counts = _batch_blob_layout(
+        blobs, _CHIMP64_BYTE, 13
+    )
     out_parts: dict[int, np.ndarray] = {}
     sel = np.flatnonzero(is_c64)
     if sel.size:
         starts = blob_off[sel]
-        hidx = starts[:, None] + np.arange(12)[None, :]
-        head = buf[hidx]
-        counts[sel] = head[:, 0:4].copy().view(np.uint32).ravel().astype(np.int64)
+        head = buf[starts[:, None] + np.arange(12)[None, :]]
         firsts = head[:, 4:12].copy().view(np.uint64).ravel()
-        n_r = counts[sel]
-        m_r = np.maximum(n_r - 1, 0)
-        # flags
-        fpad = m_r + (-m_r) % 8
-        f_bytes = fpad // 8
-        f_starts = starts + 12
-        gidx = np.repeat(f_starts, f_bytes) + segment_intra_indices(f_bytes)
-        gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
-        fbits = unpack_bits(buf[gidx], np.full(int(fpad.sum()), 1, np.int64))
-        # drop per-row pads
-        src = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], m_r) + (
-            segment_intra_indices(m_r)
-        )
-        flags = fbits[src].astype(bool)
+        m_r = np.maximum(counts[sel] - 1, 0)
         x_off = np.concatenate(([0], np.cumsum(m_r)))
-        xrow_l = np.repeat(np.arange(sel.size), m_r)
-        # headers
-        c_r = np.zeros(sel.size, dtype=np.int64)
-        if flags.size:
-            c_r = np.bincount(xrow_l[flags], minlength=sel.size).astype(np.int64)
-        hpad = c_r + (-c_r) % 2
-        h_bytes = hpad * 12 // 8
-        h_starts = f_starts + f_bytes
-        gidx = np.repeat(h_starts, h_bytes) + segment_intra_indices(h_bytes)
-        gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
-        hbits = unpack_bits(buf[gidx], np.full(int(hpad.sum()), 12, np.int64))
-        src = np.repeat(np.concatenate(([0], np.cumsum(hpad)))[:-1], c_r) + (
-            segment_intra_indices(c_r)
-        )
-        headers = hbits[src]
-        lz = (headers >> np.uint64(6)).astype(np.int64)
-        tz = (headers & np.uint64(0x3F)).astype(np.int64)
-        sig = 64 - lz - tz
-        crow = np.repeat(np.arange(sel.size), c_r)
-        # corrupt headers can claim lz+tz > 63 -> sig < 1, which would
-        # size NEGATIVE payload cells; mark those rows for the registry
-        # path and clamp so the batch math stays well-formed
-        bad_hdr = np.zeros(sel.size, dtype=bool)
-        oob = sig < 1
-        if oob.any():
-            np.logical_or.at(bad_hdr, crow[oob], True)
-            sig = np.maximum(sig, 1)
-        # payload cells (row-major changed order; cells sorted by width
-        # within each row)
-        vals = np.empty(sig.size, dtype=np.uint64)
-        if sig.size:
-            order = np.lexsort((np.arange(sig.size), sig, crow))
-            s_sig = sig[order]
-            s_row = crow[order]
-            cell_break = np.flatnonzero(
-                (s_sig[1:] != s_sig[:-1]) | (s_row[1:] != s_row[:-1])
-            ) + 1
-            cstarts = np.concatenate(([0], cell_break))
-            c_w = s_sig[cstarts]
-            c_rw = s_row[cstarts]
-            c_cnt = np.concatenate((cell_break, [s_sig.size])) - cstarts
-            c_pad = np.array(
-                [_pad_count(int(c), int(w)) for c, w in zip(c_cnt, c_w)], dtype=np.int64
-            )
-            c_bytes = c_pad * c_w // 8
-            # absolute byte start of each cell: row payload start + within-row
-            # cumsum (cells are already sorted (row, w))
-            p_starts = h_starts + h_bytes  # per selected row
-            within = np.cumsum(c_bytes) - c_bytes
-            # rebase at each row's FIRST cell (rows with zero cells have
-            # no entries here, so index by cell runs, not by row id)
-            row_change = np.concatenate(([True], c_rw[1:] != c_rw[:-1]))
-            first_idx = np.flatnonzero(row_change)
-            run_len = np.diff(np.append(first_idx, c_rw.size))
-            within = within - np.repeat(within[first_idx], run_len)
-            c_abs = p_starts[c_rw] + within
-            sval = np.empty(s_sig.size, dtype=np.uint64)
-            for w in np.unique(c_w):
-                wsel = np.flatnonzero(c_w == w)
-                pads = c_pad[wsel]
-                gidx = np.repeat(c_abs[wsel], c_bytes[wsel]) + segment_intra_indices(
-                    c_bytes[wsel]
-                )
-                gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
-                gv = unpack_bits(buf[gidx], np.full(int(pads.sum()), int(w), np.int64))
-                src = np.repeat(np.concatenate(([0], np.cumsum(pads)))[:-1], c_cnt[wsel]) + (
-                    segment_intra_indices(c_cnt[wsel])
-                )
-                dst = np.repeat(cstarts[wsel], c_cnt[wsel]) + segment_intra_indices(
-                    c_cnt[wsel]
-                )
-                sval[dst] = gv[src]
-            vals[order] = sval
-        xors = np.zeros(flags.size, dtype=np.uint64)
-        xors[flags] = vals << tz.astype(np.uint64)
-        # per-row prefix-xor with row resets
-        if xors.size:
-            G = np.bitwise_xor.accumulate(xors)
-            g_before = np.zeros(sel.size, dtype=np.uint64)
-            nz_rows = m_r > 0
-            row_start = x_off[:-1]
-            prev_idx = row_start - 1
-            g_before[nz_rows & (row_start > 0)] = G[
-                prev_idx[nz_rows & (row_start > 0)]
-            ]
-            within = G ^ np.repeat(g_before, m_r)
-            series_bits = np.repeat(firsts, m_r) ^ within
-        else:
-            series_bits = np.empty(0, dtype=np.uint64)
-        payload_bytes = np.zeros(sel.size, dtype=np.int64)
-        if sig.size:
-            np.add.at(payload_bytes, c_rw, c_bytes)
-        expected = 12 + f_bytes + h_bytes + payload_bytes + 1
+        xors, consumed, bad_hdr = _batch_decode_xor_sections(buf, starts + 12, m_r)
+        series_bits = _rowwise_prefix_xor(xors, firsts, m_r)
+        expected = 12 + consumed + 1
         valid = (expected == blob_lens[sel]) & ~bad_hdr
         for k, r in enumerate(sel):
             if not valid[k]:
@@ -588,6 +621,93 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
             part[1:] = series_bits[x_off[k] : x_off[k + 1]]
             out_parts[r] = part.view(np.float64)
     for r in np.flatnonzero(~is_c64):
+        out_parts[r] = registry.decompress(bytes(blobs[r]))
+        counts[r] = out_parts[r].size
+    flat = (
+        np.concatenate([out_parts[r] for r in range(n_rows)])
+        if n_rows
+        else np.empty(0, dtype=np.float64)
+    )
+    return flat, np.concatenate(([0], np.cumsum(counts)))
+
+
+def decompress_batch_chimp128(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched inverse of :func:`compress_batch_chimp128` (round 7,
+    r6 verdict #3): the 7-bit back-offset section unpacks in one global
+    fixed-width pass, the xor sections reuse the shared global decoder,
+    and the parent-pointer forests of ALL rows resolve together with
+    one pointer-jumping loop over the concatenated batch (parents are
+    within-row, so global positions preserve the forest structure) —
+    O(total · log max_row_len) instead of per-row Python passes.
+    Foreign/corrupt blobs fall back to the per-row registry decoder."""
+    from . import registry
+    from .bitstream import segment_intra_indices
+
+    n_rows = len(blobs)
+    buf, blob_lens, blob_off, is_fast, counts = _batch_blob_layout(
+        blobs, _CHIMP128_BYTE, 13
+    )
+    out_parts: dict[int, np.ndarray] = {}
+    sel = np.flatnonzero(is_fast)
+    if sel.size:
+        starts = blob_off[sel]
+        head = buf[starts[:, None] + np.arange(12)[None, :]]
+        firsts = head[:, 4:12].copy().view(np.uint64).ravel()
+        m_r = np.maximum(counts[sel] - 1, 0)
+        x_off = np.concatenate(([0], np.cumsum(m_r)))
+        # 7-bit back-offsets: gather the PADDED byte count per row (the
+        # first ceil(7m/8) real bytes fully contain the m real values;
+        # the padded tail reads into the next section but only feeds
+        # discarded pad slots)
+        opad = m_r + (-m_r) % 8
+        o_pad_bytes = opad * 7 // 8
+        o_real_bytes = (7 * m_r + 7) // 8
+        o_starts = starts + 12
+        gidx = np.repeat(o_starts, o_pad_bytes) + segment_intra_indices(o_pad_bytes)
+        gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
+        obits = unpack_bits(buf[gidx], np.full(int(opad.sum()), 7, np.int64))
+        src = np.repeat(np.concatenate(([0], np.cumsum(opad)))[:-1], m_r) + (
+            segment_intra_indices(m_r)
+        )
+        offs = obits[src].astype(np.int64) + 1  # 1..128
+        xors, consumed, bad_hdr = _batch_decode_xor_sections(
+            buf, o_starts + o_real_bytes, m_r
+        )
+        expected = 12 + o_real_bytes + consumed + 1
+        valid = (expected == blob_lens[sel]) & ~bad_hdr
+        # globalized parent-pointer forests: non-first position i of row
+        # k sits at global g = k_first + local; parent = g - offs
+        n_r = counts[sel]
+        g_off = np.concatenate(([0], np.cumsum(n_r)))
+        root = np.repeat(g_off[:-1], n_r)
+        pos = np.arange(int(g_off[-1]), dtype=np.int64)
+        is_first = pos == root
+        p = pos.copy()
+        jump = np.zeros(pos.size, dtype=np.uint64)
+        p[~is_first] = pos[~is_first] - offs
+        jump[~is_first] = xors
+        # corrupt offsets can point before the row start — send those
+        # rows to the registry path and clamp so the loop terminates
+        oob = p < root
+        if oob.any():
+            bad_rows = np.unique(np.searchsorted(g_off, pos[oob], side="right") - 1)
+            valid[bad_rows] = False
+            p[oob] = root[oob]
+        while True:
+            pending = p != root
+            if not pending.any():
+                break
+            par = p[pending]
+            jump[pending] ^= jump[par]
+            p[pending] = p[par]
+        bits = jump ^ np.repeat(firsts, n_r)
+        series = bits.view(np.float64)
+        for k, r in enumerate(sel):
+            if not valid[k]:
+                is_fast[r] = False
+                continue
+            out_parts[r] = series[g_off[k] : g_off[k + 1]]
+    for r in np.flatnonzero(~is_fast):
         out_parts[r] = registry.decompress(bytes(blobs[r]))
         counts[r] = out_parts[r].size
     flat = (

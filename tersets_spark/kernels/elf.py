@@ -194,6 +194,99 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     return blobs  # type: ignore[return-value]
 
 
+def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched inverse of :func:`compress_batch` (round 7, r6 verdict
+    #3): ok-flags and 4-bit betas unpack in one global fixed-width pass
+    each, the Chimp xor sections reuse the shared global decoder, the
+    per-row prefix-xor is one global scan with row resets, and decimal
+    recovery (`_decimal_round`) runs ONCE over every erased value in
+    the batch — its per-decimal-count rounding groups amortize across
+    rows exactly like the encoder's. Foreign/corrupt blobs fall back to
+    the per-row registry decoder."""
+    from . import registry
+    from .bitstream import segment_intra_indices
+    from .chimp import (
+        _batch_blob_layout,
+        _batch_decode_xor_sections,
+        _rowwise_prefix_xor,
+    )
+
+    n_rows = len(blobs)
+    buf, blob_lens, blob_off, is_fast, counts = _batch_blob_layout(
+        blobs, _ELF_BYTE, 14
+    )
+    out_parts: dict[int, np.ndarray] = {}
+    sel = np.flatnonzero(is_fast)
+    if sel.size:
+        starts = blob_off[sel]
+        n_r = counts[sel]  # >= 2 per the layout guard
+        # ---- ok-flag section: 1-bit x n values, real bytes == padded
+        fpad = n_r + (-n_r) % 8
+        f_real = fpad // 8  # == ceil(n/8)
+        f_starts = starts + 4
+        gidx = np.repeat(f_starts, f_real) + segment_intra_indices(f_real)
+        gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
+        okbits = unpack_bits(buf[gidx], np.full(int(fpad.sum()), 1, np.int64))
+        src = np.repeat(np.concatenate(([0], np.cumsum(fpad)))[:-1], n_r) + (
+            segment_intra_indices(n_r)
+        )
+        ok = okbits[src].astype(bool)
+        okrow = np.repeat(np.arange(sel.size), n_r)
+        m_ok = np.bincount(okrow[ok], minlength=sel.size).astype(np.int64)
+        # ---- beta section: 4-bit x m_ok, real bytes == padded
+        bpad = m_ok + m_ok % 2
+        b_real = bpad * 4 // 8  # == ceil(4*m_ok/8)
+        b_starts = f_starts + f_real
+        gidx = np.repeat(b_starts, b_real) + segment_intra_indices(b_real)
+        gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated below
+        bbits = unpack_bits(buf[gidx], np.full(int(bpad.sum()), 4, np.int64))
+        src = np.repeat(np.concatenate(([0], np.cumsum(bpad)))[:-1], m_ok) + (
+            segment_intra_indices(m_ok)
+        )
+        beta = bbits[src].astype(np.int64) + 1
+        # ---- first value + xor sections over the erased stream
+        first_pos = b_starts + b_real
+        firsts = (
+            buf[np.minimum(first_pos[:, None] + np.arange(8)[None, :], buf.size - 1)]
+            .copy()
+            .view(np.uint64)
+            .ravel()
+        )
+        m_r = n_r - 1
+        xors, consumed, bad_hdr = _batch_decode_xor_sections(
+            buf, first_pos + 8, m_r
+        )
+        tail_bits = _rowwise_prefix_xor(xors, firsts, m_r)
+        expected = 4 + f_real + b_real + 8 + consumed + 1
+        valid = (expected == blob_lens[sel]) & ~bad_hdr
+        # ---- assemble the full erased stream, then ONE global recovery
+        g_off = np.concatenate(([0], np.cumsum(n_r)))
+        stream = np.empty(int(g_off[-1]), dtype=np.uint64)
+        first_slots = g_off[:-1]
+        stream[first_slots] = firsts
+        non_first = np.ones(stream.size, dtype=bool)
+        non_first[first_slots] = False
+        stream[non_first] = tail_bits
+        out = stream.view(np.float64).copy()
+        idx_ok = np.flatnonzero(ok)
+        if idx_ok.size:
+            out[idx_ok] = _decimal_round(out[idx_ok], beta)
+        for k, r in enumerate(sel):
+            if not valid[k]:
+                is_fast[r] = False
+                continue
+            out_parts[r] = out[g_off[k] : g_off[k + 1]]
+    for r in np.flatnonzero(~is_fast):
+        out_parts[r] = registry.decompress(bytes(blobs[r]))
+        counts[r] = out_parts[r].size
+    flat = (
+        np.concatenate([out_parts[r] for r in range(n_rows)])
+        if n_rows
+        else np.empty(0, dtype=np.float64)
+    )
+    return flat, np.concatenate(([0], np.cumsum(counts)))
+
+
 def decompress(payload: bytes) -> np.ndarray:
     buf = np.frombuffer(payload, dtype=np.uint8)
     n = check_decode_count(buf[:4].view(np.uint32)[0])
