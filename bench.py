@@ -263,6 +263,37 @@ def main() -> None:
     secondary["minhash_jaccard_dups"] = lambda sp, d: entrymod.minhash_pairs(
         sp, d, n_hashes=16, bands=4
     )
+    # full-corpus fuzzy shrink (r6 verdict #1): the PRODUCTION dedup
+    # flow — LSH candidates -> exact Jaccard verify -> connected
+    # components -> keep-one survivors -> per-source shrink — timed
+    # end-to-end over every document. numpy 'fast' signatures (the
+    # production default; the correctness row keeps 'auditable' so the
+    # sf0.01 oracle stays an exact replay). CC star-round counts are
+    # recorded per pass in detail.fuzzy_cc_rounds.
+    fuzzy_cc_rounds: list = []
+
+    def run_fuzzy(sp, d):
+        from tersets_spark.operators.dedup import fuzzy_dedup_pipeline
+
+        docs_all = entrymod._documents(sp, d).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+        )
+        st: dict = {}
+        groups = fuzzy_dedup_pipeline(docs_all, signature="fast", stats=st)
+        fuzzy_cc_rounds.append(st.get("cc_rounds"))
+        joined = docs_all.join(
+            groups.select("doc_id", "is_survivor"), "doc_id", "left"
+        )
+        kept = F.when(
+            F.col("is_survivor").isNull() | F.col("is_survivor"), 1
+        ).otherwise(0)
+        return joined.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(1 - kept).cast("long").alias("n_dropped"),
+        )
+
+    secondary["fuzzy_corpus_shrink"] = run_fuzzy
     # ivf_ann_topk phase split (round-6 verdict #3): at 100 TB the
     # k-means training + full-corpus index build is an amortized
     # lifecycle phase while probe-path queries run hot — time them
@@ -295,7 +326,7 @@ def main() -> None:
         ivf_phases["build"].append(build_s)
         ivf_phases["query"].append(query_s)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    _CACHEY = ("minhash_jaccard_dups", "ivf_ann_topk")
+    _CACHEY = ("minhash_jaccard_dups", "ivf_ann_topk", "fuzzy_corpus_shrink")
 
     def run_one(name: str) -> float:
         t0 = time.time()
@@ -453,6 +484,10 @@ def main() -> None:
             "flagship_probe_ratios": flag_probes,
             "pass_probe_ratios": pass_probes,
             "anchor_probe_ratio": round(par_anchor, 2),
+            # CC star rounds until convergence, one entry per timed
+            # pass of fuzzy_corpus_shrink (r6 verdict #1 asked for the
+            # round count alongside the end-to-end timing)
+            "fuzzy_cc_rounds": fuzzy_cc_rounds,
             "probe_gate": _PAR_GATE,
             "reruns": reruns,
             # self-describing artifact (round-3 verdict #5): per-query
@@ -462,6 +497,12 @@ def main() -> None:
             "flagship_repeats": repeats,
             "query_overrides": {
                 "minhash_jaccard_dups": "n_hashes=16 bands=4 (bench scale)",
+                "fuzzy_corpus_shrink": (
+                    "signature='fast' (numpy rolling-hash, production "
+                    "default); the correctness row uses 'auditable' for "
+                    "the exact-replay oracle — identical banding/verify/"
+                    "CC semantics, ~2x cheaper signatures"
+                ),
                 "minhash_jaccard_64x16": "n_hashes=64 bands=16 (correctness config, 1 pass)",
                 "ivf_ann_topk": (
                     "build+query total via the phase-split runner (index "
