@@ -155,7 +155,11 @@ def compact_tier(
 
 def restore_tier(blocks: DataFrame) -> DataFrame:
     """Inverse of :func:`compact_tier`: back to
-    (doc_id, stat, bucket, value) rows."""
+    (doc_id, stat, bucket, value) rows. The whole Arrow batch decodes
+    in ONE ``decompress_batch`` call per column (value blobs + bucket
+    blobs) — the global width-grouped unpack passes of the four
+    lossless batch codecs, instead of a per-row Python decode loop —
+    and the output columns are numpy repeats, no list building."""
     from typing import Iterator
 
     import pandas as pd
@@ -163,21 +167,27 @@ def restore_tier(blocks: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..kernels import registry
+        from ..kernels.batch import decompress_batch
 
         for pdf in batches:
-            docs, stats_c, buckets, values = [], [], [], []
-            for doc_id, stat, blob, bblob in zip(
-                pdf["doc_id"], pdf["stat"], pdf["blob"], pdf["bucket_blob"]
-            ):
-                v = registry.decompress(bytes(blob))
-                b = registry.decompress(bytes(bblob)).astype(np.int64)
-                docs.extend([doc_id] * v.size)
-                stats_c.extend([stat] * v.size)
-                buckets.extend(b.tolist())
-                values.extend(v.tolist())
+            if not len(pdf):
+                continue
+            vflat, voffs = decompress_batch([bytes(b) for b in pdf["blob"]])
+            bflat, boffs = decompress_batch(
+                [bytes(b) for b in pdf["bucket_blob"]]
+            )
+            counts = np.diff(voffs)
+            if not np.array_equal(np.diff(boffs), counts):
+                raise ValueError(
+                    "tier block corrupt: value/bucket counts disagree"
+                )
             yield pd.DataFrame(
-                {"doc_id": docs, "stat": stats_c, "bucket": buckets, "value": values}
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), counts),
+                    "stat": np.repeat(pdf["stat"].to_numpy(), counts),
+                    "bucket": bflat.astype(np.int64),
+                    "value": vflat,
+                }
             )
 
     return blocks.mapInPandas(
