@@ -536,9 +536,9 @@ def _batch_decode_xor_sections(buf, sec_starts, m_r):
         c_w = s_sig[cstarts]
         c_rw = s_row[cstarts]
         c_cnt = np.concatenate((cell_break, [s_sig.size])) - cstarts
-        c_pad = np.array(
-            [_pad_count(int(c), int(w)) for c, w in zip(c_cnt, c_w)], dtype=np.int64
-        )
+        # vectorized _pad_count over all cells (a per-cell Python call
+        # here was ~25% of the whole batch decode)
+        c_pad = c_cnt + (-c_cnt) % (8 // np.gcd(c_w, 8))
         c_bytes = c_pad * c_w // 8
         # absolute byte start of each cell: row payload start + within-row
         # cumsum (cells are already sorted (row, w))
