@@ -48,19 +48,48 @@ _BATCH_DECOMPRESS = {
 
 def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of self-describing blobs -> (flat float64,
-    offsets). All four lossless batch codecs (delta, Chimp64, Chimp128,
-    Elf) decode in global vectorized passes; other methods fall back
-    per row."""
+    offsets). Rows are ROUTED BY METHOD BYTE: each of the four lossless
+    batch codecs (delta, Chimp64, Chimp128, Elf) decodes ALL of its
+    rows in one global vectorized pass, so a mixed-method batch (tiers
+    compacted at different epochs with different codecs) never degrades
+    a method's rows to the per-row path; genuinely foreign methods fall
+    back per row inside whichever fast decoder gets them."""
     if not blobs:
         return np.empty(0, dtype=np.float64), np.zeros(1, dtype=np.int64)
+    n_rows = len(blobs)
     tails = np.fromiter(
-        ((b[-1] if len(b) else 255) for b in blobs), dtype=np.int64, count=len(blobs)
+        ((b[-1] if len(b) else 255) for b in blobs), dtype=np.int64, count=n_rows
     )
-    # choose the dominant fast path; its batch decoder falls back per-row
-    # for foreign blobs, so one call always suffices
+    groups: list[tuple[np.ndarray, object]] = []
+    routed = np.zeros(n_rows, dtype=bool)
     best, best_n = Method.BitPackedDeltaEncoding, -1
-    for meth in _BATCH_DECOMPRESS:
-        n = int((tails == int(meth)).sum())
-        if n > best_n:
-            best, best_n = meth, n
-    return _BATCH_DECOMPRESS[best](blobs)
+    for meth, fn in _BATCH_DECOMPRESS.items():
+        sel = np.flatnonzero(tails == int(meth))
+        if sel.size:
+            groups.append((sel, fn))
+            routed[sel] = True
+        if sel.size > best_n:
+            best, best_n = meth, sel.size
+    rest = np.flatnonzero(~routed)
+    if rest.size:  # non-batched methods ride the dominant fast decoder
+        groups.append((rest, _BATCH_DECOMPRESS[best]))
+    if len(groups) == 1:
+        return groups[0][1](blobs)
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for sel, fn in groups:
+        gflat, goffs = fn([blobs[i] for i in sel])
+        parts.append((sel, gflat, goffs))
+    counts = np.zeros(n_rows, dtype=np.int64)
+    for sel, _, goffs in parts:
+        counts[sel] = np.diff(goffs)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat = np.empty(int(offsets[-1]), dtype=np.float64)
+    from .bitstream import segment_intra_indices
+
+    for sel, gflat, goffs in parts:
+        # scatter each group's rows back to their original slots
+        dst = np.repeat(offsets[sel], counts[sel]) + segment_intra_indices(
+            counts[sel]
+        )
+        flat[dst] = gflat
+    return flat, offsets

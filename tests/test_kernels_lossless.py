@@ -269,9 +269,13 @@ def test_batch_decode_bit_exact(method: Method, n_rows: int, maxlen: int) -> Non
 
 
 def test_batch_decode_dispatch_mixed_methods() -> None:
-    """batch.decompress_batch routes to the dominant method's decoder,
-    which per-row-falls-back for foreign blobs — a mixed batch of all
-    four lossless batch codecs must still decode bit-exactly."""
+    """batch.decompress_batch routes rows BY METHOD BYTE: each of the
+    four lossless batch codecs gets ALL of its rows in one global
+    vectorized pass (a mixed-method batch never degrades a codec's rows
+    to the per-row path), genuinely foreign methods (here RLE and
+    Uncompressed) ride a fast decoder's per-row fallback, and the
+    per-group results are scattered back to original row order — the
+    whole mix must decode bit-exactly, including an empty blob."""
     from tersets_spark.kernels import batch
 
     rng = np.random.default_rng(11)
@@ -280,18 +284,23 @@ def test_batch_decode_dispatch_mixed_methods() -> None:
         Method.Elf,
         Method.Chimp64,
         Method.BitPackedDeltaEncoding,
+        Method.RunLengthEncoding,
+        Method.Uncompressed,
     ]
     flats, blobs = [], []
-    for i in range(40):
-        m = methods[i % 4]
+    for i in range(60):
+        m = methods[i % len(methods)]
         n = int(rng.integers(2, 40))
-        v = (
-            rng.integers(0, 131072, n).astype(np.float64)
-            if m == Method.BitPackedDeltaEncoding
-            else np.round(np.cumsum(rng.normal(0, 1, n)), 3)
-        )
+        if m == Method.BitPackedDeltaEncoding:
+            v = rng.integers(0, 131072, n).astype(np.float64)
+        elif m == Method.RunLengthEncoding:
+            v = np.repeat(rng.integers(0, 9, 4).astype(np.float64), n)[:n]
+        else:
+            v = np.round(np.cumsum(rng.normal(0, 1, n)), 3)
         flats.append(v)
         blobs.append(registry.compress(v, m, {}))
+    flats.append(np.empty(0, dtype=np.float64))
+    blobs.append(b"")  # empty input -> empty blob convention
     flat = np.concatenate(flats)
     offs = np.concatenate(([0], np.cumsum([v.size for v in flats]))).astype(np.int64)
     got_flat, got_off = batch.decompress_batch(blobs)
