@@ -1,0 +1,262 @@
+"""Streaming fuzzy (near-duplicate) deduplication — incremental
+MinHash-LSH dedup of an unbounded document stream via ``foreachBatch``
+against a persistent survivor store.
+
+Why this is NOT ``applyInPandasWithState`` (the exact-dedup design,
+dedup_stream.py): exact dedup has ONE state key per doc (the content
+hash), so first-wins is a single keyed reduction. A near-dup doc spans
+``bands`` LSH keys, and the keep/drop decision is global across all of
+them (drop iff ANY band matches an earlier survivor that Jaccard-
+verifies), after which the survivor's signature must be inserted into
+ALL its band buckets atomically — a cross-key transaction that keyed
+per-partition state cannot express (two chained stateful stages cannot
+see each other's in-flight updates within a micro-batch). The standard
+production design is what this module implements: ``foreachBatch``
+resolves each micro-batch with the full BATCH operator stack, then
+joins the batch's survivors against an append-only store of earlier
+survivors (texts + LSH bucket index) and keeps only docs that verify
+against no earlier survivor.
+
+Semantics (retraction-free, append-only — document carefully):
+
+- A whole corpus fed as ONE batch reproduces
+  :func:`~tersets_spark.operators.dedup.fuzzy_dedup_pipeline` exactly
+  (the in-batch stage IS that pipeline).
+- Across batches the guarantee is GREEDY ARRIVAL-ORDER maximal
+  independent set: no emitted survivor Jaccard-verifies (>= threshold)
+  against any earlier-batch survivor; within one batch, full
+  connected-component semantics apply.
+- Divergence from a global batch run, pinned by test: transitive
+  chains THROUGH a dropped doc across batch boundaries are broken.
+  If batch 1 keeps A, batch 2 drops B (near-dup of A), and batch 3
+  brings C with jaccard(C,B) >= t but jaccard(C,A) < t, then C
+  SURVIVES here while a global batch CC run over {A,B,C} would keep
+  only A. This is fundamental to streaming: an exact incremental CC
+  would need the new edge (B,C) to merge clusters and retract the
+  already-emitted survivor decision, and an append-only output cannot
+  retract. (Batch re-resolution over the survivor store is the
+  periodic-compaction answer if chain-exact groups are required.)
+
+Scale notes (100 TB stream): per micro-batch cost is the in-batch
+pipeline (near-linear in batch size — capped LSH join, pair-restricted
+verify, join-free CC) plus one equi-join of the batch's band buckets
+against the store index on (band, bucket) — candidate volume is
+near-linear in true cross-batch duplicates. The store only grows with
+SURVIVORS (near-dups are never inserted), so a bucket's population is
+bounded by distinct non-duplicate content sharing a 60-bit band
+bucket; ``verify_cap`` bounds the per-doc verify fan-out against
+adversarial boilerplate regardless. Writes are partitioned by
+micro-batch id and use dynamic partition overwrite, so a replayed
+batch (foreachBatch's at-least-once contract) rewrites its own
+partition instead of duplicating rows — idempotent without a
+transactional table format (swap the store for Delta/Iceberg in
+production for snapshot isolation between concurrent readers).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+from pyspark.sql.window import Window
+
+from tersets_spark.operators.dedup import (
+    _band_buckets_batch,
+    fuzzy_dedup_pipeline,
+    ngram_jaccard_pairs,
+)
+
+__all__ = ["process_fuzzy_batch", "fuzzy_dedup_stream", "read_decisions"]
+
+
+def _banded(
+    docs: DataFrame, k_shingle: int, n_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH index rows for ``docs`` — the same
+    vectorized signature path the batch LSH join uses, so store lookups
+    are bit-compatible with in-batch candidate generation."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_buckets(texts: pd.Series) -> pd.Series:
+        return _band_buckets_batch(texts, k_shingle, n_hashes, bands, seed)
+
+    return docs.select(
+        "doc_id", band_buckets(F.col("text")).alias("_bb")
+    ).select("doc_id", F.posexplode("_bb").alias("band", "bucket"))
+
+
+def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.option("basePath", path).parquet(path)
+    except AnalysisException:
+        return None  # store empty: first batch (or no partition yet)
+
+
+def _overwrite_partition(df: DataFrame, root: str, batch_id: int) -> None:
+    # Deterministic per-batch partition path: a foreachBatch replay of
+    # the same batch_id overwrites its own output (idempotence).
+    df.write.mode("overwrite").parquet(f"{root}/batch={int(batch_id)}")
+
+
+def process_fuzzy_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.5,
+    n_hashes: int = 30,
+    bands: int = 5,
+    bucket_cap: int | None = 1024,
+    verify_cap: int = 256,
+    seed: int = 42,
+) -> None:
+    """Resolve ONE micro-batch against the survivor store (see module
+    docstring for semantics). Writes three partitioned outputs under
+    ``store_path``: ``survivors/`` (doc_id, text), ``buckets/`` the LSH
+    index rows of new survivors, and ``decisions/`` one row per input
+    doc — (doc_id, status in {'survivor','dup_in_batch','dup_of_earlier'},
+    matched = the earlier survivor id or null).
+
+    Callable directly (unit tests / backfill drivers) or through
+    :func:`fuzzy_dedup_stream`. Doc ids must be globally unique across
+    the stream (standard for ingestion ids)."""
+    spark = batch_df.sparkSession
+    docs = batch_df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    # 1) in-batch resolution: the full production batch flow.
+    clusters = fuzzy_dedup_pipeline(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        k_shingle=k_shingle,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        bands=bands,
+        bucket_cap=bucket_cap,
+        signature="fast",
+    )
+    dropped_in_batch = clusters.filter(~F.col("is_survivor")).select("doc_id")
+    batch_survivors = docs.join(dropped_in_batch, "doc_id", "left_anti")
+
+    # 2) cross-batch: batch survivors' band buckets vs the store index.
+    banded = _banded(batch_survivors, k_shingle, n_hashes, bands, seed).persist()
+    banded.count()  # materialize: read twice (history join + store append)
+    # The store view is STRICTLY EARLIER batches: a foreachBatch replay
+    # of batch_id must not see its own first attempt's partitions (the
+    # batch's docs would self-match and be dropped), nor leftovers of a
+    # crashed later batch. batch ids are monotone in a stream, so
+    # `batch < batch_id` is exactly "committed history".
+    store_buckets = _read_store(spark, f"{store_path}/buckets")
+    if store_buckets is not None:
+        store_buckets = store_buckets.filter(F.col("batch") < int(batch_id))
+    matched = None
+    if store_buckets is not None:
+        cand = (
+            banded.alias("n")
+            .join(
+                store_buckets.select(
+                    F.col("doc_id").alias("old_id"), "band", "bucket"
+                ).alias("o"),
+                ["band", "bucket"],
+            )
+            .select(F.col("old_id").alias("id_a"), F.col("n.doc_id").alias("id_b"))
+            .distinct()
+        )
+        # bound the verify fan-out per new doc; earliest survivors first
+        # (deterministic under replay).
+        cand = (
+            cand.withColumn(
+                "_rk",
+                F.row_number().over(Window.partitionBy("id_b").orderBy("id_a")),
+            )
+            .filter(F.col("_rk") <= verify_cap)
+            .drop("_rk")
+        )
+        old_texts = _read_store(spark, f"{store_path}/survivors").filter(
+            F.col("batch") < int(batch_id)
+        )
+        texts = batch_survivors.unionByName(
+            old_texts.select("doc_id", "text")
+        )
+        verified = ngram_jaccard_pairs(
+            texts, cand, text_col="text", id_col="doc_id",
+            k_shingle=k_shingle, threshold=threshold,
+        )
+        # keep the earliest verified survivor as the recorded match
+        matched = verified.groupBy(F.col("id_b").alias("doc_id")).agg(
+            F.min("id_a").alias("matched")
+        )
+
+    if matched is not None:
+        new_survivors = batch_survivors.join(
+            matched.select("doc_id"), "doc_id", "left_anti"
+        )
+    else:
+        new_survivors = batch_survivors
+
+    decisions = (
+        docs.select("doc_id")
+        .join(dropped_in_batch.withColumn("_ib", F.lit(True)), "doc_id", "left")
+        .join(matched if matched is not None
+              else spark.createDataFrame([], "doc_id long, matched long"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ib"), F.lit("dup_in_batch"))
+            .when(F.col("matched").isNotNull(), F.lit("dup_of_earlier"))
+            .otherwise(F.lit("survivor"))
+            .alias("status"),
+            "matched",
+        )
+    )
+
+    # 3) idempotent partitioned writes. Everything derived from a store
+    #    READ must be materialized with its lineage SEVERED before the
+    #    first overwrite: a foreachBatch replay of batch_id reads
+    #    buckets/survivors partitions that the overwrite below deletes,
+    #    and a lazy (or cache-evicted) plan would re-scan the deleted
+    #    files mid-write. localCheckpoint(eager) cuts the parquet
+    #    lineage entirely (persist alone only caches, it does not cut —
+    #    the CC operator learned the same lesson). In production swap
+    #    the store for a transactional table (Delta/Iceberg snapshot
+    #    isolation) and this ordering concern disappears.
+    new_survivors = new_survivors.localCheckpoint(eager=True)
+    decisions = decisions.localCheckpoint(eager=True)
+    _overwrite_partition(new_survivors, f"{store_path}/survivors", batch_id)
+    # survivors first, index second: a crash between the two leaves a
+    # survivor invisible to LSH lookup (a missed dedup, self-healing on
+    # replay) rather than an index row pointing at a missing text.
+    _overwrite_partition(
+        banded.join(new_survivors.select("doc_id"), "doc_id", "left_semi"),
+        f"{store_path}/buckets",
+        batch_id,
+    )
+    _overwrite_partition(decisions, f"{store_path}/decisions", batch_id)
+    banded.unpersist()
+
+
+def fuzzy_dedup_stream(stream: DataFrame, store_path: str, **params):
+    """Wire :func:`process_fuzzy_batch` as a ``foreachBatch`` sink over
+    a streaming DataFrame; returns the DataStreamWriter (caller adds
+    checkpointLocation / trigger and ``.start()``s)."""
+
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        process_fuzzy_batch(batch_df, store_path, batch_id, **params)
+
+    return stream.writeStream.foreachBatch(_proc)
+
+
+def read_decisions(spark: SparkSession, store_path: str) -> DataFrame:
+    """All per-doc decisions recorded so far (partitioned by batch)."""
+    df = _read_store(spark, f"{store_path}/decisions")
+    if df is None:
+        return spark.createDataFrame(
+            [], "doc_id long, status string, matched long, batch int"
+        )
+    return df

@@ -1,0 +1,179 @@
+"""Incremental (streaming) fuzzy dedup — semantics pinned against the
+batch pipeline: one-batch equivalence, cross-batch first-wins, the
+documented chain-break divergence, replay idempotence, and a real
+Structured-Streaming smoke run."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+
+from tersets_spark.streaming.fuzzy_dedup_stream import (
+    fuzzy_dedup_stream,
+    process_fuzzy_batch,
+    read_decisions,
+)
+
+G1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+G2 = "one two three four five six seven eight nine ten eleven twelve ok"
+LONE = "totally unrelated document content about bitpacked delta encoding"
+
+
+def _jac(a: str, b: str, k: int = 5) -> float:
+    """Exact char-k-shingle Jaccard — mirrors operators.dedup.shingles
+    (distinct substrings of length k, full windows for len >= k)."""
+    sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
+    sb = {b[i : i + k] for i in range(max(len(b) - k + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def _decisions(spark, store: str) -> dict[int, tuple[str, int | None]]:
+    return {
+        r.doc_id: (r.status, r.matched)
+        for r in read_decisions(spark, store).collect()
+    }
+
+
+def test_single_batch_matches_batch_pipeline(spark, tmp_path):
+    """A whole corpus in ONE micro-batch reproduces the batch
+    fuzzy_dedup_pipeline survivor set (plus never-paired docs)."""
+    store = str(tmp_path / "store")
+    rows = [
+        (10, G1), (11, G1 + "!"), (12, G1 + " ?"),
+        (20, G2), (21, G2 + "."),
+        (30, LONE),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    process_fuzzy_batch(df, store, batch_id=0)
+    dec = _decisions(spark, store)
+    assert {d for d, (s, _) in dec.items() if s == "survivor"} == {10, 20, 30}
+    assert {d for d, (s, _) in dec.items() if s == "dup_in_batch"} == {11, 12, 21}
+    surv = spark.read.option("basePath", f"{store}/survivors").parquet(
+        f"{store}/survivors"
+    )
+    assert {r.doc_id for r in surv.collect()} == {10, 20, 30}
+
+
+def test_cross_batch_first_wins(spark, tmp_path):
+    """A later-batch near-dup of an earlier survivor is dropped and the
+    match is recorded; novel content keeps flowing through."""
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame([(1, G1), (5, LONE)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(7, G1 + "!!"), (6, G2)], "doc_id long, text string"
+    )
+    process_fuzzy_batch(b0, store, batch_id=0)
+    process_fuzzy_batch(b1, store, batch_id=1)
+    dec = _decisions(spark, store)
+    assert dec[7] == ("dup_of_earlier", 1)
+    assert dec[6][0] == "survivor" and dec[1][0] == "survivor"
+    surv = spark.read.option("basePath", f"{store}/survivors").parquet(
+        f"{store}/survivors"
+    )
+    assert {r.doc_id for r in surv.collect()} == {1, 5, 6}
+
+
+def _quarter_chain() -> tuple[str, str, str]:
+    """Texts A, B, C with j(A,B) >= 0.5, j(B,C) >= 0.5, j(A,C) < 0.5:
+    quarter blocks A=PQRS, B=QRST, C=RSTU (overlap 3/5 ~ 0.6 between
+    neighbors, 2/6 ~ 0.33 across the chain)."""
+    words = lambda tag: " ".join(f"{tag}{i:02d}word" for i in range(8))  # noqa: E731
+    p, q, r, s, t, u = (words(c) for c in "pqrstu")
+    a = " ".join((p, q, r, s))
+    b = " ".join((q, r, s, t))
+    c = " ".join((r, s, t, u))
+    return a, b, c
+
+
+def test_chain_break_divergence_pinned(spark, tmp_path):
+    """The documented streaming/batch divergence: C ~ B (dropped) but
+    C !~ A (B's survivor). Streaming keeps C (no EARLIER SURVIVOR
+    verifies); a single-batch run resolves {A,B,C} into one component
+    and keeps only A. Both behaviors asserted side by side."""
+    a, b, c = _quarter_chain()
+    thr = 0.5
+    # pin the premise with exact shingle Jaccard (not LSH luck)
+    assert _jac(a, b) >= thr and _jac(b, c) >= thr and _jac(a, c) < thr
+    params = dict(threshold=thr, n_hashes=30, bands=15)  # 2-row bands:
+    # P(candidate) at j=0.6 is 1-(1-0.36)^15 > 0.998 — not flaky
+    rows = {1: a, 2: b, 3: c}
+
+    inc = str(tmp_path / "inc")
+    for bid, doc in enumerate(sorted(rows)):
+        df = spark.createDataFrame([(doc, rows[doc])], "doc_id long, text string")
+        process_fuzzy_batch(df, inc, batch_id=bid, **params)
+    dec = _decisions(spark, inc)
+    assert dec[1][0] == "survivor"
+    assert dec[2] == ("dup_of_earlier", 1)
+    assert dec[3][0] == "survivor"  # chain broken: C never saw B
+
+    glob = str(tmp_path / "glob")
+    df = spark.createDataFrame(list(rows.items()), "doc_id long, text string")
+    process_fuzzy_batch(df, glob, batch_id=0, **params)
+    gdec = _decisions(spark, glob)
+    assert gdec[1][0] == "survivor"
+    assert gdec[2][0] == "dup_in_batch" and gdec[3][0] == "dup_in_batch"
+
+
+def test_replay_idempotent(spark, tmp_path):
+    """foreachBatch may replay a batch id after failure: reprocessing
+    overwrites the batch's own partitions instead of duplicating."""
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(1, G1), (2, G1 + "!"), (5, LONE)], "doc_id long, text string"
+    )
+    process_fuzzy_batch(b0, store, batch_id=0)
+    first = {
+        part: spark.read.option("basePath", f"{store}/{part}")
+        .parquet(f"{store}/{part}").count()
+        for part in ("survivors", "buckets", "decisions")
+    }
+    process_fuzzy_batch(b0, store, batch_id=0)  # replay
+    for part, n in first.items():
+        again = (
+            spark.read.option("basePath", f"{store}/{part}")
+            .parquet(f"{store}/{part}").count()
+        )
+        assert again == n, part
+    assert _decisions(spark, store)[1][0] == "survivor"
+
+
+def test_stream_smoke_foreachbatch(spark, tmp_path):
+    """End-to-end through a real Structured Streaming query: file
+    source, one file per trigger, foreachBatch sink."""
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, G1), (5, LONE)],
+        [(7, G1 + "!!"), (6, G2)],
+    ]
+    now = time.time()
+    src = tmp_path / "src"
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 20 + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "store")
+    q = (
+        fuzzy_dedup_stream(stream, store)
+        .option(
+            "checkpointLocation", str(tmp_path / ("ckpt_" + uuid.uuid4().hex[:8]))
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dec = _decisions(spark, store)
+    assert dec[7] == ("dup_of_earlier", 1)
+    assert {d for d, (s, _) in dec.items() if s == "survivor"} == {1, 5, 6}
