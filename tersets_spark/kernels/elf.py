@@ -38,7 +38,13 @@ def _beta(v: np.ndarray) -> np.ndarray:
     decimal-place count; significant digits = floor(log10|v|) + k + 1.
     Values that aren't short decimals keep beta=17 (their erasure will
     fail the compress-time verification and they are stored unerased —
-    losslessness never depends on this estimate being right)."""
+    losslessness never depends on this estimate being right).
+
+    The 16 scale probes run over a shrinking working set: a value
+    leaves it once resolved (smallest k found) or once scaled >= 2^53
+    (scaled only grows with k, so it can never become an exact
+    integer later) — short-decimal corpora resolve almost everything
+    by k<=4, cutting the probe cost ~4x vs full-array passes."""
     n = v.size
     out = np.full(n, 17, dtype=np.int64)
     finite = np.isfinite(v) & (v != 0.0)
@@ -47,16 +53,19 @@ def _beta(v: np.ndarray) -> np.ndarray:
         return out
     x = np.abs(v)
     k = np.full(n, -1, dtype=np.int64)
+    idx = np.flatnonzero(finite)
+    xx = x[idx]
     with np.errstate(over="ignore", invalid="ignore"):
         for kk in range(16):
-            scaled = x * (10.0**kk)
-            exact = (
-                finite
-                & (k < 0)
-                & (scaled < 2**53)
-                & (scaled == np.floor(scaled))
-            )
-            k[exact] = kk
+            if idx.size == 0:
+                break
+            scaled = xx * (10.0**kk)
+            small = scaled < 2**53
+            exact = small & (scaled == np.floor(scaled))
+            k[idx[exact]] = kk
+            keep = small & ~exact
+            idx = idx[keep]
+            xx = xx[keep]
         mag = np.full(n, 0, dtype=np.int64)
         mag[finite] = np.floor(np.log10(x[finite])).astype(np.int64)
     have = k >= 0
@@ -65,22 +74,48 @@ def _beta(v: np.ndarray) -> np.ndarray:
     return out
 
 
+def _build_pow10_table(size: int = 1200) -> np.ndarray:
+    """Exact replica of numpy's C power_of_ten (calculation.c): literal
+    1e0..1e8, then repeated *10.0 from 1e9 (overflowing to inf).  Using
+    this table keeps the vectorized _decimal_round bit-identical to the
+    per-group np.round(…, d) it replaced — np.round computes its scale
+    factor with exactly this algorithm, and already-written blobs'
+    decimal recovery must never change."""
+    p = np.empty(size, dtype=np.float64)
+    for i in range(9):
+        p[i] = float(10**i)
+    r = 1e9
+    with np.errstate(over="ignore"):
+        for i in range(9, size):
+            p[i] = r
+            r = r * 10.0
+    return p
+
+
+_POW10 = _build_pow10_table()
+
+
 def _decimal_round(v: np.ndarray, beta: np.ndarray) -> np.ndarray:
     """round(v, beta - 1 - floor(log10 |v|)) — shared by encoder
-    (verification) and decoder (recovery)."""
+    (verification) and decoder (recovery).
+
+    Fully vectorized, bit-identical to np.round(sub, d) per decimal
+    count d: scale factor from the power_of_ten replica table, then
+    rint-multiply/divide in numpy's exact op order (multiply-rint-
+    divide for d>=0, divide-rint-multiply for d<0; d==0 degenerates to
+    rint(v*1.0)/1.0 == rint(v) bitwise for finite v)."""
     out = v.copy()
     nz = np.isfinite(v) & (v != 0)
     if nz.any():
+        sub = v[nz]
         with np.errstate(divide="ignore"):
-            mag = np.floor(np.log10(np.abs(v[nz]))).astype(np.int64)
+            mag = np.floor(np.log10(np.abs(sub))).astype(np.int64)
         dec = (beta[nz] - 1 - mag).astype(np.int64)
-        sub = v[nz].copy()
-        # np.round with per-element decimals: group by decimal count
+        f = _POW10[np.minimum(np.abs(dec), _POW10.size - 1)]
         with np.errstate(invalid="ignore", over="ignore"):
-            for d in np.unique(dec):
-                m = dec == d
-                sub[m] = np.round(sub[m], int(d))
-        out[nz] = sub
+            pos = np.true_divide(np.rint(np.multiply(sub, f)), f)
+            neg = np.multiply(np.rint(np.true_divide(sub, f)), f)
+        out[nz] = np.where(dec >= 0, pos, neg)
     return out
 
 

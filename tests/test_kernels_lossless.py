@@ -386,3 +386,51 @@ def test_batch_decode_beats_per_row_ab(method: Method) -> None:
         ratios.append(s / (time.perf_counter() - t0))
     ratios.sort()
     assert ratios[4] >= 1.2, f"median batch decode speedup {ratios[4]:.2f}x, all={ratios}"
+
+
+def test_elf_decimal_round_matches_legacy_np_round() -> None:
+    """The r7 vectorized _decimal_round must stay BIT-identical to the
+    per-decimal-group np.round(sub, d) formulation it replaced: blobs
+    already written flagged ok=True under the old recovery, and decode
+    applies _decimal_round to reconstruct them — any drift silently
+    corrupts stored data.  Sweeps short decimals, random doubles,
+    huge/tiny magnitudes (|dec| past the 1e22 exact-power range and the
+    inf overflow of numpy's power_of_ten), subnormals and +/-0."""
+    from tersets_spark.kernels.elf import _decimal_round
+
+    def legacy(v: np.ndarray, beta: np.ndarray) -> np.ndarray:
+        out = v.copy()
+        nz = np.isfinite(v) & (v != 0)
+        if nz.any():
+            with np.errstate(divide="ignore"):
+                mag = np.floor(np.log10(np.abs(v[nz]))).astype(np.int64)
+            dec = (beta[nz] - 1 - mag).astype(np.int64)
+            sub = v[nz].copy()
+            with np.errstate(invalid="ignore", over="ignore"):
+                for d in np.unique(dec):
+                    m = dec == d
+                    sub[m] = np.round(sub[m], int(d))
+            out[nz] = sub
+        return out
+
+    rng = np.random.default_rng(77)
+    cases = [
+        np.round(rng.normal(100.0, 20.0, 4000), 3),
+        rng.normal(0.0, 1.0, 4000),
+        rng.uniform(-1e300, 1e300, 2000),
+        rng.uniform(-1e-300, 1e-300, 2000),
+        np.array([5e-324, -5e-324, 1e308, -1e308, 0.0, -0.0, np.nan,
+                  np.inf, -np.inf, 0.1, 12345.6789, 1e22, 1e23]),
+    ]
+    for arr in cases:
+        for b in (1, 2, 3, 8, 16, 17):
+            beta = np.full(arr.size, b, dtype=np.int64)
+            got = _decimal_round(arr, beta)
+            want = legacy(arr, beta)
+            assert np.array_equal(
+                got.view(np.uint64), want.view(np.uint64)
+            ), f"beta={b}: recovery drifted from legacy np.round path"
+        beta = rng.integers(1, 18, arr.size)
+        got = _decimal_round(arr, beta)
+        want = legacy(arr, beta)
+        assert np.array_equal(got.view(np.uint64), want.view(np.uint64))
