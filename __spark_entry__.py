@@ -2078,6 +2078,154 @@ _STREAM_DEDUP_ORACLE = """
 """
 
 
+def _stream_fuzzy_parity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FUZZY dedup, hash-oracled per doc (round 7): run the
+    production incremental near-dup flow
+    (streaming/fuzzy_dedup_stream.process_fuzzy_batch — in-batch
+    fuzzy_dedup_pipeline, then cross-batch LSH lookup + Jaccard verify
+    against the survivor store) over the FULL corpus as 3 deterministic
+    micro-batches (batch = doc_id % 3) on the auditable md5 signature
+    path, and emit every per-doc decision:
+    (doc_id, status in {survivor, dup_in_batch, dup_of_earlier},
+    matched = earliest verified earlier-batch survivor or null, batch).
+
+    The oracle replays the whole thing exactly — per-batch LSH + cap +
+    verify + CC fixpoint (one recursive CTE, batches propagate
+    independently), then the greedy arrival-order cross-batch stages
+    unrolled (f0 -> m1 -> f01 -> m2) including the verify_cap=256
+    earliest-survivor window. This upgrades the streaming fuzzy surface
+    from semantics-pinned-by-unit-test (tests/test_stream_fuzzy_dedup)
+    to hash-green vs an external engine, same as the batch pipeline."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        process_fuzzy_batch,
+        read_decisions,
+    )
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="tersets_stream_fuzzy_")
+    try:
+        for b in range(3):
+            process_fuzzy_batch(
+                docs.filter(F.col("doc_id") % 3 == b),
+                tmp,
+                b,
+                signature="auditable",
+            )
+        # sever lineage from the temp store before it is removed
+        return (
+            read_decisions(spark, tmp)
+            .select(
+                "doc_id",
+                "status",
+                F.col("matched").cast("long").alias("matched"),
+                F.col("batch").cast("int").alias("batch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: cross-batch stage replica: DISTINCT (earlier-final, new-survivor)
+#: bucket-join pairs, verify_cap=256 earliest-first window, exact
+#: shingle Jaccard >= 0.5, matched = earliest verified survivor.
+def _stream_fuzzy_match_sql(new_bt: int, finals_cte: str) -> str:
+    return f"""
+    SELECT id_b AS doc_id, min(id_a) AS matched FROM (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rk
+            FROM (SELECT DISTINCT o.doc_id AS id_a, n.doc_id AS id_b
+                  FROM buckets n
+                  JOIN inb ni ON ni.doc_id = n.doc_id AND ni.bt = {new_bt}
+                  JOIN buckets o ON o.band = n.band AND o.bucket = n.bucket
+                  JOIN {finals_cte} f ON f.doc_id = o.doc_id)
+        ) WHERE rk <= 256
+    ) c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    GROUP BY id_b"""
+
+
+_STREAM_FUZZY_PARITY_ORACLE = f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id, doc_id % 3 AS bt,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> substring(text, i, 5))) AS s
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, bt, unnest(s) AS g FROM sh
+    ), hx AS (
+        SELECT e.doc_id, e.bt, j.seed, md5_number_upper(e.g || ':' || j.seed) AS u
+        FROM ex e CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS seed) j
+    ), sigs AS MATERIALIZED (
+        SELECT doc_id, bt, seed, min({_BE60_SQL}) AS mh
+        FROM hx GROUP BY doc_id, bt, seed
+    ), buckets AS MATERIALIZED (
+        SELECT doc_id, bt, seed // 6 AS band,
+               string_agg(mh::VARCHAR, ':' ORDER BY seed) AS bucket
+        FROM sigs GROUP BY doc_id, bt, seed // 6
+    ), capped AS (
+        SELECT doc_id, bt, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY bt, band, bucket) AS c
+            FROM buckets
+        ) WHERE c <= 1024
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT a.bt, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.bt = b.bt AND a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ), vpairs AS MATERIALIZED (
+        SELECT c.bt, c.id_a, c.id_b
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ), edges AS (
+        SELECT bt, id_a AS eu, id_b AS ev FROM vpairs
+        UNION
+        SELECT bt, id_b AS eu, id_a AS ev FROM vpairs
+    ), reach(bt, v, l) AS (
+        SELECT bt, eu, eu FROM (SELECT DISTINCT bt, eu FROM edges) t
+        UNION
+        SELECT e.bt, e.ev, r.l FROM reach r
+        JOIN edges e ON e.eu = r.v AND e.bt = r.bt
+    ), lbl AS MATERIALIZED (
+        SELECT bt, v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY bt, v
+    ), inb AS MATERIALIZED (
+        SELECT s.doc_id, s.bt FROM sh s LEFT JOIN lbl l ON l.doc_id = s.doc_id
+        WHERE l.doc_id IS NULL OR l.cluster_id = s.doc_id
+    ), f0 AS MATERIALIZED (
+        SELECT doc_id FROM inb WHERE bt = 0
+    ), m1 AS MATERIALIZED ({_stream_fuzzy_match_sql(1, "f0")}
+    ), f01 AS MATERIALIZED (
+        SELECT doc_id FROM f0
+        UNION ALL
+        SELECT doc_id FROM inb WHERE bt = 1
+          AND doc_id NOT IN (SELECT doc_id FROM m1)
+    ), m2 AS MATERIALIZED ({_stream_fuzzy_match_sql(2, "f01")}
+    )
+    SELECT d.doc_id,
+           CASE WHEN l.doc_id IS NOT NULL AND l.cluster_id != d.doc_id
+                     THEN 'dup_in_batch'
+                WHEN m.matched IS NOT NULL THEN 'dup_of_earlier'
+                ELSE 'survivor' END AS status,
+           m.matched,
+           CAST(d.doc_id % 3 AS INT) AS batch
+    FROM documents d
+    LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    LEFT JOIN (SELECT * FROM m1 UNION ALL SELECT * FROM m2) m
+           ON m.doc_id = d.doc_id
+"""
+
+
 def _embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via hyperplane LSH, HARD oracle:
     DuckDB replays the exact bucketing and cosine because both engines
@@ -2409,11 +2557,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     for lbl, code, cfg, chk in _INVARIANT_CATALOG:
         out[f"x_inv_{lbl}"] = _invariant_query(Method(code), cfg, chk)
+    out["x_stream_fuzzy_parity"] = _stream_fuzzy_parity_query
     return out
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    return {name: _BOUND_ORACLE for name in extra_queries()}
+    out = {name: _BOUND_ORACLE for name in extra_queries()}
+    out["x_stream_fuzzy_parity"] = _STREAM_FUZZY_PARITY_ORACLE
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

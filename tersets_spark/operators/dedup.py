@@ -169,6 +169,44 @@ def _md5_hash60(col: F.Column, seed: int) -> F.Column:
     ).cast("long")
 
 
+def _banded_auditable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = 30,
+    bands: int = 5,
+) -> DataFrame:
+    """UNCAPPED ``(_id, band, bucket)`` LSH index rows on the auditable
+    md5 signature path: minhash_j(doc) = min over char-k-shingles of
+    :func:`_md5_hash60`, bucket = ':'-joined decimal strings of the
+    band's row hashes.  Shared by :func:`minhash_lsh_candidates_auditable`
+    (which caps + self-joins) and the streaming survivor-store index
+    (streaming/fuzzy_dedup_stream.py) so cross-batch lookups stay
+    bit-compatible with in-batch candidate generation — and externally
+    SQL-replayable."""
+    rows = n_hashes // bands
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, k_shingle)).alias("_g"),
+    ).select(
+        "_id",
+        *[_md5_hash60(F.col("_g"), j).alias(f"_h{j}") for j in range(n_hashes)],
+    )
+    sig = ex.groupBy("_id").agg(
+        *[F.min(f"_h{j}").alias(f"mh_{j}") for j in range(n_hashes)]
+    )
+    band_cols = [
+        F.concat_ws(
+            ":", *[F.col(f"mh_{b * rows + i}").cast("string") for i in range(rows)]
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+
+
 def minhash_lsh_candidates_auditable(
     df: DataFrame,
     text_col: str = "text",
@@ -199,25 +237,9 @@ def minhash_lsh_candidates_auditable(
     (:func:`minhash_lsh_candidates`, numpy rolling-hash signatures) is
     ~2x cheaper per signature and remains the bench/production default;
     both paths share banding, cap, join, and verify semantics."""
-    rows = n_hashes // bands
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, k_shingle)).alias("_g"),
-    ).select(
-        "_id",
-        *[_md5_hash60(F.col("_g"), j).alias(f"_h{j}") for j in range(n_hashes)],
-    )
-    sig = ex.groupBy("_id").agg(
-        *[F.min(f"_h{j}").alias(f"mh_{j}") for j in range(n_hashes)]
-    )
-    band_cols = [
-        F.concat_ws(
-            ":", *[F.col(f"mh_{b * rows + i}").cast("string") for i in range(rows)]
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    banded = _banded_auditable(
+        df, text_col=text_col, id_col=id_col,
+        k_shingle=k_shingle, n_hashes=n_hashes, bands=bands,
     )
     banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     left = banded.alias("l")

@@ -64,6 +64,7 @@ from pyspark.sql.window import Window
 
 from tersets_spark.operators.dedup import (
     _band_buckets_batch,
+    _banded_auditable,
     fuzzy_dedup_pipeline,
     ngram_jaccard_pairs,
 )
@@ -72,11 +73,23 @@ __all__ = ["process_fuzzy_batch", "fuzzy_dedup_stream", "read_decisions"]
 
 
 def _banded(
-    docs: DataFrame, k_shingle: int, n_hashes: int, bands: int, seed: int
+    docs: DataFrame,
+    k_shingle: int,
+    n_hashes: int,
+    bands: int,
+    seed: int,
+    signature: str = "fast",
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH index rows for ``docs`` — the same
-    vectorized signature path the batch LSH join uses, so store lookups
-    are bit-compatible with in-batch candidate generation."""
+    signature path the batch LSH join uses (``signature`` selects the
+    numpy rolling-hash default or the SQL-replayable md5 path), so
+    store lookups are bit-compatible with in-batch candidate
+    generation."""
+    if signature == "auditable":
+        return _banded_auditable(
+            docs, text_col="text", id_col="doc_id",
+            k_shingle=k_shingle, n_hashes=n_hashes, bands=bands,
+        ).withColumnRenamed("_id", "doc_id")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_buckets(texts: pd.Series) -> pd.Series:
@@ -113,6 +126,7 @@ def process_fuzzy_batch(
     bucket_cap: int | None = 1024,
     verify_cap: int = 256,
     seed: int = 42,
+    signature: str = "fast",
 ) -> None:
     """Resolve ONE micro-batch against the survivor store (see module
     docstring for semantics). Writes three partitioned outputs under
@@ -139,13 +153,15 @@ def process_fuzzy_batch(
         n_hashes=n_hashes,
         bands=bands,
         bucket_cap=bucket_cap,
-        signature="fast",
+        signature=signature,
     )
     dropped_in_batch = clusters.filter(~F.col("is_survivor")).select("doc_id")
     batch_survivors = docs.join(dropped_in_batch, "doc_id", "left_anti")
 
     # 2) cross-batch: batch survivors' band buckets vs the store index.
-    banded = _banded(batch_survivors, k_shingle, n_hashes, bands, seed).persist()
+    banded = _banded(
+        batch_survivors, k_shingle, n_hashes, bands, seed, signature
+    ).persist()
     banded.count()  # materialize: read twice (history join + store append)
     # The store view is STRICTLY EARLIER batches: a foreachBatch replay
     # of batch_id must not see its own first attempt's partitions (the

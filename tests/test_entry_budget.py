@@ -67,5 +67,8 @@ def test_every_query_has_an_oracle():
 
 def test_extras_cover_catalog_per_method():
     ex = e.extra_queries()
-    assert len(ex) == len(e._BOUND_CATALOG) + len(e._INVARIANT_CATALOG)
+    # per-method catalog debug rows + the streaming fuzzy parity row
+    assert len(ex) == len(e._BOUND_CATALOG) + len(e._INVARIANT_CATALOG) + 1
+    assert "x_stream_fuzzy_parity" in ex
     assert set(e.extra_oracle_sql()) == set(ex)
+    assert e.extra_oracle_sql()["x_stream_fuzzy_parity"] != e._BOUND_ORACLE
