@@ -116,6 +116,27 @@ def pack_bits(values: np.ndarray, widths) -> bytes:
                 nibs = np.concatenate([nibs, np.zeros(1, np.uint8)])
             pairs = nibs.reshape(-1, 2)
             return ((pairs[:, 0] << 4) | pairs[:, 1]).tobytes()
+        if 33 <= w <= 56:
+            # byte-window scatter (round 7, inverse of the unpack
+            # window): the output repeats every w bytes per 8 values,
+            # so each residue class j writes its w bits at a fixed
+            # (byte, bit) offset of the row — 8 shift+byteswap+OR
+            # passes, no per-bit explode. Classes' bits are disjoint
+            # so the row-matrix ORs never collide. Up to 2x over the
+            # generic path at these widths, bit-identical; needs
+            # (j*w)%8 + w <= 64, i.e. w <= 57.
+            m = (n + 7) // 8
+            vpad = np.zeros(8 * m, dtype=np.uint64)
+            vpad[:n] = v.astype(np.uint64) & np.uint64((1 << w) - 1)
+            rowmat = np.zeros((m, w + 8), dtype=np.uint8)
+            for j in range(8):
+                sh = (j * w) % 8
+                byte0 = (j * w) // 8
+                word = vpad[j::8] << np.uint64(64 - w - sh)
+                rowmat[:, byte0 : byte0 + 8] |= (
+                    word.byteswap().view(np.uint8).reshape(m, 8)
+                )
+            return rowmat[:, :w].tobytes()[: (n * w + 7) // 8]
         # generic: explode to 1 byte/bit via unpackbits on the
         # BIG-endian value bytes (already MSB-first — a forward column
         # slice, no reversed-stride copy), then packbits.
@@ -182,8 +203,9 @@ def unpack_bits(buf: bytes | np.ndarray, widths, bit_offset: int = 0) -> np.ndar
                     b1 = np.uint64(raw[3 * npairs + 1])
                     v[-1] = (b0 << np.uint64(4)) | (b1 >> np.uint64(4))
                 return v
-            if w % 4 == 0:
-                # nibble gather: k <= 15 vector combines
+            if w in (4, 28):
+                # nibble gather: k <= 7 vector combines (beats the byte
+                # window only at these two widths — measured r7)
                 k = w // 4
                 nnib = n * k
                 nb = (nnib + 1) // 2
@@ -196,6 +218,30 @@ def unpack_bits(buf: bytes | np.ndarray, widths, bit_offset: int = 0) -> np.ndar
                 for j in range(1, k):
                     out = (out << np.uint64(4)) | m[:, j]
                 return out
+            if w <= 57:
+                # byte-window gather (round 7): value i spans bits
+                # [i*w, i*w + w) — read the nb-byte window holding it,
+                # big-endian combine, then one per-element shift + mask.
+                # No per-bit explode, no (n, 64) matrix: 2-3x for
+                # w <= 25 (u32 windows) and up to 3x at w >= 44 (u64)
+                # over the generic path below, bit-identical. shift is
+                # in [0, 7] so shift + w <= W holds for w <= W - 7.
+                if w <= 25:
+                    wt, wbits, nb = np.uint32, 32, 4
+                else:
+                    wt, wbits, nb = np.uint64, 64, 8
+                p = np.arange(n, dtype=np.int64) * w
+                shift = (p & 7).astype(wt)
+                padded = np.concatenate(
+                    [raw[: (n * w + 7) // 8], np.zeros(nb, np.uint8)]
+                )
+                win = padded[(p >> 3)[:, None] + np.arange(nb)[None, :]]
+                out = win[:, 0].astype(wt)
+                for j in range(1, nb):
+                    out = (out << wt(8)) | win[:, j]
+                return (
+                    (out >> (wt(wbits - w) - shift)) & wt((1 << w) - 1)
+                ).astype(np.uint64)
         # fixed-width generic: byte-level bit matrix, reorder to
         # LSB-first, packbits back into little-endian value bytes
         total = n * w

@@ -434,3 +434,32 @@ def test_elf_decimal_round_matches_legacy_np_round() -> None:
         got = _decimal_round(arr, beta)
         want = legacy(arr, beta)
         assert np.array_equal(got.view(np.uint64), want.view(np.uint64))
+
+
+def test_unpack_bits_window_paths_all_widths() -> None:
+    """pack->unpack round-trip across EVERY fixed width 1..64 (hits all
+    routing tiers: packbits w=1, byte columns w%8, pairwise w=12,
+    nibble w in {4,28}, u32 byte-window w<=25, u64 byte-window w<=57,
+    generic matrix 58..64), plus awkward lengths that leave partial
+    trailing bytes, and the short-buffer fall-through (corrupt blobs
+    must keep raising via the generic path, never read out of range)."""
+    from tersets_spark.kernels.bitstream import pack_bits, unpack_bits
+
+    rng = np.random.default_rng(11)
+    for w in range(1, 65):
+        for n in (1, 7, 8, 9, 1000):
+            hi = (1 << w) if w < 64 else (1 << 63)
+            vals = rng.integers(0, hi, n, dtype=np.uint64)
+            packed = pack_bits(vals, w)
+            got = unpack_bits(
+                np.frombuffer(packed, dtype=np.uint8), np.full(n, w, np.int64)
+            )
+            assert np.array_equal(got, vals), f"w={w} n={n}"
+    # short buffer: the fast-path gate must fall through to the generic
+    # path, which RAISES on the truncated stream (corrupt blobs keep
+    # raising through the registry's CorruptBlobError wrapper)
+    vals = rng.integers(0, 1 << 18, 100, dtype=np.uint64)
+    packed = np.frombuffer(pack_bits(vals, 18), dtype=np.uint8)
+    short = packed[: len(packed) // 2]
+    with pytest.raises(ValueError):
+        unpack_bits(short, np.full(100, 18, np.int64))
