@@ -342,20 +342,27 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         base = np.concatenate(([0], g))[dr_off[:-1]]
         within = g - np.repeat(base, d_lens)
         vals = np.repeat(firsts, d_lens) + within
-        for k, r in enumerate(sel):
-            part = np.empty(counts[r], dtype=np.float64)
-            part[0] = firsts[k]
-            part[1:] = vals[dr_off[k] : dr_off[k + 1]]
-            out_parts[r] = part
-    for r in np.flatnonzero(~is_delta0):
+    slow = np.flatnonzero(~is_delta0)
+    for r in slow:
         out_parts[r] = registry.decompress(bytes(blobs[r]))
         counts[r] = out_parts[r].size
-    flat = (
-        np.concatenate([out_parts[r] for r in range(n_rows)])
-        if n_rows
-        else np.empty(0, dtype=np.float64)
-    )
-    return flat, np.concatenate(([0], np.cumsum(counts)))
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat = np.empty(int(offsets[-1]), dtype=np.float64)
+    if sel.size:
+        # scatter fast-path rows straight into the flat output — first
+        # value at each row start, reconstructed tail elsewhere — no
+        # per-row temporaries, no second concatenate pass
+        tail_mask = np.zeros(flat.size, dtype=bool)
+        tail_mask[
+            np.repeat(offsets[sel], counts[sel])
+            + segment_intra_indices(counts[sel])
+        ] = True
+        tail_mask[offsets[sel]] = False
+        flat[offsets[sel]] = firsts
+        flat[tail_mask] = vals
+    for k, r in enumerate(slow):
+        flat[offsets[r] : offsets[r + 1]] = out_parts[r]
+    return flat, offsets
 
 
 def decompress(payload: bytes) -> np.ndarray:
