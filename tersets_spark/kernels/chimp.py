@@ -36,7 +36,7 @@ import numpy as np
 
 from ..methods import check_decode_count
 
-from .bitstream import pack_bits, unpack_bits
+from .bitstream import pack_bits, unpack_bits, unpack_bits_at
 
 
 def _leading_zeros(u: np.ndarray) -> np.ndarray:
@@ -551,23 +551,15 @@ def _batch_decode_xor_sections(buf, sec_starts, m_r):
         run_len = np.diff(np.append(first_idx, c_rw.size))
         within = within - np.repeat(within[first_idx], run_len)
         c_abs = p_starts[c_rw] + within
-        sval = np.empty(s_sig.size, dtype=np.uint64)
-        for w in np.unique(c_w):
-            wsel = np.flatnonzero(c_w == w)
-            pads = c_pad[wsel]
-            gidx = np.repeat(c_abs[wsel], c_bytes[wsel]) + segment_intra_indices(
-                c_bytes[wsel]
-            )
-            gidx = np.minimum(gidx, buf.size - 1)  # clipped: validated by caller
-            gv = unpack_bits(buf[gidx], np.full(int(pads.sum()), int(w), np.int64))
-            src = np.repeat(np.concatenate(([0], np.cumsum(pads)))[:-1], c_cnt[wsel]) + (
-                segment_intra_indices(c_cnt[wsel])
-            )
-            dst = np.repeat(cstarts[wsel], c_cnt[wsel]) + segment_intra_indices(
-                c_cnt[wsel]
-            )
-            sval[dst] = gv[src]
-        vals[order] = sval
+        # one variable-width window unpack over EVERY payload value at
+        # its absolute bit position (cells pack contiguously from their
+        # byte-aligned start, so value j of a width-w cell sits at
+        # cell_byte*8 + j*w) — replaces the per-unique-width
+        # gather/unpack/scatter loop, which was the measured residual
+        # of the r7 batch decoders (~44 constant-cost iterations)
+        rank = np.arange(s_sig.size, dtype=np.int64) - np.repeat(cstarts, c_cnt)
+        pv = np.repeat(c_abs, c_cnt) * 8 + rank * s_sig
+        vals[order] = unpack_bits_at(buf, s_sig, pv)
         np.add.at(payload_bytes, c_rw, c_bytes)
     xors = np.zeros(flags.size, dtype=np.uint64)
     xors[flags] = vals << tz.astype(np.uint64)
