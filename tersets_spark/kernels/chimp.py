@@ -143,13 +143,29 @@ def _decode_xor_sections(buf: np.ndarray, n: int) -> tuple[np.ndarray, int, np.n
         lz = (headers >> np.uint64(6)).astype(np.int64)
         tz = (headers & np.uint64(0x3F)).astype(np.int64)
         sig = 64 - lz - tz
+        # cells sit in ascending-width order (np.unique order on the
+        # encode side); one variable-width window unpack over every
+        # value at its absolute bit position replaces the per-width
+        # loop (round 7 — same rework as the batch reader). Corrupt
+        # headers (lz + tz > 63) clamp to zero-width cells exactly as
+        # the old per-width path decoded them (0 bits, value 0).
+        order = np.argsort(sig, kind="stable")
+        s = np.maximum(sig[order], 0)
+        cell_break = np.flatnonzero(s[1:] != s[:-1]) + 1
+        cstarts = np.concatenate(([0], cell_break))
+        c_w = s[cstarts]
+        c_cnt = np.diff(np.append(cstarts, s.size))
+        c_pad = c_cnt + (-c_cnt) % (8 // np.gcd(np.maximum(c_w, 1), 8))
+        c_bytes = c_pad * c_w // 8
+        total = int(c_bytes.sum())
+        if pos + total > buf.size:
+            raise ValueError("truncated chimp xor payload")
+        c_abs = pos + np.cumsum(c_bytes) - c_bytes
+        rank = np.arange(s.size, dtype=np.int64) - np.repeat(cstarts, c_cnt)
+        pv = np.repeat(c_abs, c_cnt) * 8 + rank * s
         vals = np.empty(m, dtype=np.uint64)
-        for w in np.unique(sig):
-            mask = sig == w
-            cnt = int(mask.sum())
-            ppad = _pad_count(cnt, int(w))
-            vals[mask] = unpack_bits(buf[pos:], np.full(ppad, int(w), np.int64))[:cnt]
-            pos += ppad * int(w) // 8
+        vals[order] = unpack_bits_at(buf, s, pv)
+        pos += total
         xors[flags] = vals << tz.astype(np.uint64)
     return xors, pos, flags
 
