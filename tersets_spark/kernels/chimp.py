@@ -233,7 +233,7 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     xors = x_all[keep]  # concatenated per-row xor streams (m_r = len_r - 1)
     m_r = np.maximum(lens - 1, 0)
     xrow = np.repeat(np.arange(n_rows), m_r)
-    flags_packed, f_boff, headers_packed, h_boff, payload_parts = (
+    flags_packed, f_boff, headers_packed, h_boff, payload_buf, p_boff = (
         _batch_xor_section_bytes(xors, xrow, m_r, n_rows)
     )
     # ---- assemble rows
@@ -248,7 +248,7 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
             head[r].tobytes()
             + bytes(flags_packed[f_boff[r] : f_boff[r + 1]])
             + bytes(headers_packed[h_boff[r] : h_boff[r + 1]])
-            + b"".join(payload_parts[r])
+            + payload_buf[p_boff[r] : p_boff[r + 1]].tobytes()
             + tail
         )
     return blobs  # type: ignore[return-value]
@@ -313,7 +313,8 @@ def _batch_xor_section_bytes(xors, xrow, m_r, n_rows):
     # — the width-major key visits each row's cells in ascending-width
     # order exactly as the blob layout requires, and a uint16 key takes
     # numpy's radix argsort (~7x over 64-bit stable merge sort).
-    payload_parts: dict[int, list[bytes]] = {r: [] for r in range(n_rows)}
+    payload_buf = np.empty(0, dtype=np.uint8)
+    p_boff = np.zeros(n_rows + 1, dtype=np.int64)
     if ch.size:
         # max key = 64*(n_rows+1) + (n_rows-1) = 65*n_rows + 63; must
         # fit uint16, so n_rows <= (65535-63)//65 = 1007. (1008 already
@@ -356,14 +357,23 @@ def _batch_xor_section_bytes(xors, xrow, m_r, n_rows):
                 )
             )
         packed = memoryview(b"".join(chunks)) if len(chunks) > 1 else chunks[0]
-        rows_l = c_rw.tolist()
-        lo_l = boffs[:-1].tolist()
-        hi_l = boffs[1:].tolist()
-        for r, lo, hi in zip(rows_l, lo_l, hi_l):
-            payload_parts[r].append(bytes(packed[lo:hi]))
-    # NB: a row receives its cells in ascending-width order because the
-    # sort is width-major — exactly the order the row layout requires.
-    return flags_packed, f_boff, headers_packed, h_boff, payload_parts
+        # rearrange the width-major packed stream into ROW-major payload
+        # bytes with ONE gather (round 7): the stable row sort keeps each
+        # row's cells in ascending-width order — exactly the blob layout
+        # — and callers slice one contiguous range per row instead of
+        # joining ~20 per-cell bytes objects (a 21k-iteration Python
+        # loop at the 1000-row corpus shape, measured ~25% of the pass)
+        from .bitstream import segment_intra_indices
+
+        row_order = np.argsort(c_rw, kind="stable")
+        rb = cell_bytes[row_order]
+        src = np.repeat(boffs[:-1][row_order], rb) + segment_intra_indices(rb)
+        payload_buf = np.frombuffer(packed, dtype=np.uint8)[src]
+        row_bytes = np.bincount(
+            c_rw, weights=cell_bytes, minlength=n_rows
+        ).astype(np.int64)
+        p_boff = np.concatenate(([0], np.cumsum(row_bytes)))
+    return flags_packed, f_boff, headers_packed, h_boff, payload_buf, p_boff
 
 
 def compress_batch_chimp128(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
@@ -423,7 +433,7 @@ def compress_batch_chimp128(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
     o_pad_bytes = opad * 7 // 8
     o_real_bytes = (7 * m_r + 7) // 8
     o_boff = np.concatenate(([0], np.cumsum(o_pad_bytes)))
-    flags_packed, f_boff, headers_packed, h_boff, payload_parts = (
+    flags_packed, f_boff, headers_packed, h_boff, payload_buf, p_boff = (
         _batch_xor_section_bytes(xors, xrow, m_r, n_rows)
     )
     head = np.zeros((n_rows, 12), dtype=np.uint8)
@@ -438,7 +448,7 @@ def compress_batch_chimp128(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
             + bytes(offs_packed[o_boff[r] : o_boff[r] + o_real_bytes[r]])
             + bytes(flags_packed[f_boff[r] : f_boff[r + 1]])
             + bytes(headers_packed[h_boff[r] : h_boff[r + 1]])
-            + b"".join(payload_parts[r])
+            + payload_buf[p_boff[r] : p_boff[r + 1]].tobytes()
             + tail
         )
     return blobs  # type: ignore[return-value]

@@ -207,7 +207,7 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     xors = x_all[keep]
     m_r = np.maximum(lens - 1, 0)
     xrow = np.repeat(np.arange(n_rows), m_r)
-    sflags, s_boff, headers_packed, h_boff, payload_parts = (
+    sflags, s_boff, headers_packed, h_boff, payload_buf, p_boff = (
         _batch_xor_section_bytes(xors, xrow, m_r, n_rows)
     )
     head = lens.astype(np.uint32)[:, None].view(np.uint8)
@@ -223,7 +223,7 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
             + first_bytes[r].tobytes()
             + bytes(sflags[s_boff[r] : s_boff[r + 1]])
             + bytes(headers_packed[h_boff[r] : h_boff[r + 1]])
-            + b"".join(payload_parts[r])
+            + payload_buf[p_boff[r] : p_boff[r + 1]].tobytes()
             + tail
         )
     return blobs  # type: ignore[return-value]
