@@ -463,3 +463,29 @@ def test_unpack_bits_window_paths_all_widths() -> None:
     short = packed[: len(packed) // 2]
     with pytest.raises(ValueError):
         unpack_bits(short, np.full(100, 18, np.int64))
+
+
+def test_unpack_bits_at_oob_positions_never_fault() -> None:
+    """unpack_bits_at CLAMPS byte indices into zero padding rather than
+    faulting — corrupt blobs may point cells anywhere, and the batch
+    decoders accept rows only after validating declared byte totals.
+    OOB reads must return values (garbage is fine), never raise/crash,
+    and in-range values must be unaffected by OOB neighbors."""
+    from tersets_spark.kernels.bitstream import pack_bits, unpack_bits_at
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 20, 64, dtype=np.uint64)
+    raw = np.frombuffer(pack_bits(vals, 20), dtype=np.uint8)
+    widths = np.full(64, 20, np.int64)
+    starts = np.arange(64, dtype=np.int64) * 20
+    good = unpack_bits_at(raw, widths, starts)
+    assert np.array_equal(good, vals)
+    # absurd positions: far past the buffer, and at the last byte
+    bad_starts = starts.copy()
+    bad_starts[10] = 10**12
+    bad_starts[20] = raw.size * 8 - 3
+    got = unpack_bits_at(raw, widths, bad_starts)
+    ok = np.ones(64, dtype=bool)
+    ok[[10, 20]] = False
+    assert np.array_equal(got[ok], vals[ok])  # neighbors unaffected
+    assert got.shape == (64,)  # OOB rows decoded to something, no fault
