@@ -1000,6 +1000,11 @@ def minhash_pairs(
     # minhash slower than its heavier anchor" artifact anomaly; it was
     # structural, not host noise)
     cands.count()
+    # intentional cache lifetime: the returned plan still reads `cands`
+    # when the caller collects, so it cannot be unpersisted here. The
+    # driver/bench run one query per pass and clear the cache between
+    # passes; long-lived drivers should use fuzzy_dedup_pipeline, which
+    # releases its candidate cache itself.
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
     return pairs.select("id_a", "id_b", _trunc(F.col("jaccard")).alias("jaccard"))
 
@@ -1026,6 +1031,7 @@ def _minhash_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = minhash_lsh_candidates_auditable(docs).persist()
     cands.count()  # materialize before the verify fan-out (r4/r5 trap)
+    # cache lifetime intentional (see minhash_pairs): consumed at collect
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
     return pairs.select("id_a", "id_b", _trunc(F.col("jaccard")).alias("jaccard"))
 

@@ -146,11 +146,14 @@ def _decode_xor_sections(buf: np.ndarray, n: int) -> tuple[np.ndarray, int, np.n
         # cells sit in ascending-width order (np.unique order on the
         # encode side); one variable-width window unpack over every
         # value at its absolute bit position replaces the per-width
-        # loop (round 7 — same rework as the batch reader). Corrupt
-        # headers (lz + tz > 63) clamp to zero-width cells exactly as
-        # the old per-width path decoded them (0 bits, value 0).
+        # loop (round 7 — same rework as the batch reader). A corrupt
+        # header claiming lz + tz > 64 (sig < 0) is a typed error, as
+        # on the legacy per-width path; lz + tz == 64 (sig == 0) keeps
+        # its legacy zero-width decode (0 bits, value 0).
+        if (sig < 0).any():
+            raise ValueError("corrupt chimp xor header: lz + tz > 64")
         order = np.argsort(sig, kind="stable")
-        s = np.maximum(sig[order], 0)
+        s = sig[order]
         cell_break = np.flatnonzero(s[1:] != s[:-1]) + 1
         cstarts = np.concatenate(([0], cell_break))
         c_w = s[cstarts]

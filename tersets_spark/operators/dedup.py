@@ -535,7 +535,13 @@ def fuzzy_dedup_pipeline(
         docs, cands, text_col=text_col, id_col="doc_id",
         k_shingle=k_shingle, threshold=threshold,
     )
-    return resolve_duplicate_groups(pairs, max_iter=max_iter, stats=stats)
+    out = resolve_duplicate_groups(pairs, max_iter=max_iter, stats=stats)
+    # connected_components eagerly checkpoints the edge set derived from
+    # `pairs` as its FIRST step, severing the result's lineage to the
+    # candidate cache — safe to release here; without this a long-lived
+    # driver accumulates one cached pair set per pipeline call.
+    cands.unpersist()
+    return out
 
 
 def simhash_signatures(

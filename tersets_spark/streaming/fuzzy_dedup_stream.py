@@ -171,8 +171,12 @@ def process_fuzzy_batch(
     store_buckets = _read_store(spark, f"{store_path}/buckets")
     if store_buckets is not None:
         store_buckets = store_buckets.filter(F.col("batch") < int(batch_id))
+    # survivors are always written before buckets, but the stores can
+    # diverge under retention / manual cleanup — treat a missing
+    # survivors store like a missing bucket index: no committed history.
+    old_texts = _read_store(spark, f"{store_path}/survivors")
     matched = None
-    if store_buckets is not None:
+    if store_buckets is not None and old_texts is not None:
         cand = (
             banded.alias("n")
             .join(
@@ -194,11 +198,9 @@ def process_fuzzy_batch(
             .filter(F.col("_rk") <= verify_cap)
             .drop("_rk")
         )
-        old_texts = _read_store(spark, f"{store_path}/survivors").filter(
-            F.col("batch") < int(batch_id)
-        )
         texts = batch_survivors.unionByName(
-            old_texts.select("doc_id", "text")
+            old_texts.filter(F.col("batch") < int(batch_id))
+            .select("doc_id", "text")
         )
         verified = ngram_jaccard_pairs(
             texts, cand, text_col="text", id_col="doc_id",

@@ -489,3 +489,49 @@ def test_unpack_bits_at_oob_positions_never_fault() -> None:
     ok[[10, 20]] = False
     assert np.array_equal(got[ok], vals[ok])  # neighbors unaffected
     assert got.shape == (64,)  # OOB rows decoded to something, no fault
+
+
+def test_corrupt_xor_header_sig_negative_raises() -> None:
+    """A 12-bit xor header claiming lz + tz > 64 (sig < 0) is a TYPED
+    error on the single-row path, never a silent zero-width decode
+    (round-8 ADVICE medium: the r7 window-unpack rework clamped these
+    to zero-width cells, so one corrupted header byte made
+    registry.decompress return silently-wrong floats for
+    Chimp64/Chimp128/Elf AND defeated the batch decoders' bad_hdr ->
+    registry fallback, whose contract is a typed error).
+
+    Blob craft (single-series Chimp64 layout, chimp.py:88-129):
+    [u32 n][u64 first][flags fpad/8 bytes][12-bit headers][payload].
+    9 values with all-nonzero xors -> 8 flag bits = 1 byte at offset
+    12; headers start at byte 13; first header's 12 bits = 0xFFF
+    gives lz=63, tz=63 -> sig=-62.
+    """
+    from tersets_spark.kernels import chimp
+    from tersets_spark.kernels.registry import CorruptBlobError
+
+    v = np.cumsum(np.arange(1.0, 10.0))  # 9 values, every xor nonzero
+    blob = bytearray(registry.compress(v, Method.Chimp64, {}))
+    assert len(blob) > 15
+    blob[13] = 0xFF
+    blob[14] |= 0xF0
+    blob = bytes(blob)
+    with pytest.raises(CorruptBlobError):
+        registry.decompress(blob)
+    # batch fallback: bad_hdr rows route through the per-row decoder,
+    # which must surface the same typed error
+    with pytest.raises((CorruptBlobError, ValueError)):
+        chimp.decompress_batch([blob])
+
+
+def test_corrupt_xor_header_sig_zero_keeps_legacy_decode() -> None:
+    """lz + tz == 64 (sig == 0) keeps the LEGACY zero-width decode: the
+    cell contributes 0 bits and value 0, no error — exactly what the
+    pre-r7 per-width path did (np.unique loop with w=0). Pinned so the
+    sig<0 fix doesn't over-tighten."""
+    v = np.cumsum(np.arange(1.0, 10.0))
+    blob = bytearray(registry.compress(v, Method.Chimp64, {}))
+    # lz=63, tz=1 -> 0b111111_000001 = 0xFC1 in the first header
+    blob[13] = 0xFC
+    blob[14] = (blob[14] & 0x0F) | 0x10
+    out = registry.decompress(bytes(blob))
+    assert out.size == v.size  # decodes, possibly-garbage values, no raise
