@@ -46,14 +46,31 @@ _BATCH_DECOMPRESS = {
 }
 
 
+def _decompress_rows(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row registry decode with the (flat, offsets) batch shape —
+    the obviously-correct fallback for method bytes that have no batch
+    decoder (r7 verdict #5: previously these piggybacked on the
+    dominant fast decoder's INTERNAL fallback, correct but subtle)."""
+    arrs = [registry.decompress(b) for b in blobs]
+    offs = np.concatenate(
+        ([0], np.cumsum([a.size for a in arrs]))
+    ).astype(np.int64)
+    flat = (
+        np.concatenate(arrs).astype(np.float64, copy=False)
+        if arrs
+        else np.empty(0, dtype=np.float64)
+    )
+    return flat, offs
+
+
 def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of self-describing blobs -> (flat float64,
     offsets). Rows are ROUTED BY METHOD BYTE: each of the four lossless
     batch codecs (delta, Chimp64, Chimp128, Elf) decodes ALL of its
     rows in one global vectorized pass, so a mixed-method batch (tiers
     compacted at different epochs with different codecs) never degrades
-    a method's rows to the per-row path; genuinely foreign methods fall
-    back per row inside whichever fast decoder gets them."""
+    a method's rows to the per-row path; genuinely foreign methods
+    (no batch decoder) decode per row through the registry."""
     if not blobs:
         return np.empty(0, dtype=np.float64), np.zeros(1, dtype=np.int64)
     n_rows = len(blobs)
@@ -62,17 +79,14 @@ def decompress_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     )
     groups: list[tuple[np.ndarray, object]] = []
     routed = np.zeros(n_rows, dtype=bool)
-    best, best_n = Method.BitPackedDeltaEncoding, -1
     for meth, fn in _BATCH_DECOMPRESS.items():
         sel = np.flatnonzero(tails == int(meth))
         if sel.size:
             groups.append((sel, fn))
             routed[sel] = True
-        if sel.size > best_n:
-            best, best_n = meth, sel.size
     rest = np.flatnonzero(~routed)
-    if rest.size:  # non-batched methods ride the dominant fast decoder
-        groups.append((rest, _BATCH_DECOMPRESS[best]))
+    if rest.size:  # methods without a batch decoder: registry, per row
+        groups.append((rest, _decompress_rows))
     if len(groups) == 1:
         return groups[0][1](blobs)
     parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []

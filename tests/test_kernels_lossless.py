@@ -273,9 +273,11 @@ def test_batch_decode_dispatch_mixed_methods() -> None:
     four lossless batch codecs gets ALL of its rows in one global
     vectorized pass (a mixed-method batch never degrades a codec's rows
     to the per-row path), genuinely foreign methods (here RLE and
-    Uncompressed) ride a fast decoder's per-row fallback, and the
-    per-group results are scattered back to original row order — the
-    whole mix must decode bit-exactly, including an empty blob."""
+    Uncompressed) decode per row through the registry (r8: explicit
+    `_decompress_rows` fallback instead of piggybacking on a fast
+    decoder's internal per-row fallback), and the per-group results are
+    scattered back to original row order — the whole mix must decode
+    bit-exactly, including an empty blob."""
     from tersets_spark.kernels import batch
 
     rng = np.random.default_rng(11)
@@ -301,6 +303,28 @@ def test_batch_decode_dispatch_mixed_methods() -> None:
         blobs.append(registry.compress(v, m, {}))
     flats.append(np.empty(0, dtype=np.float64))
     blobs.append(b"")  # empty input -> empty blob convention
+    flat = np.concatenate(flats)
+    offs = np.concatenate(([0], np.cumsum([v.size for v in flats]))).astype(np.int64)
+    got_flat, got_off = batch.decompress_batch(blobs)
+    assert np.array_equal(got_off, offs)
+    assert np.array_equal(got_flat.view(np.uint64), flat.view(np.uint64))
+
+
+def test_batch_decode_all_foreign_methods() -> None:
+    """A batch with NO fast-codec rows at all (only RLE/Uncompressed)
+    must still decode bit-exactly — this shape used to take the
+    single-group shortcut through a fast decoder's internal fallback;
+    it now goes straight through the per-row registry fallback."""
+    from tersets_spark.kernels import batch
+
+    rng = np.random.default_rng(13)
+    flats, blobs = [], []
+    for i in range(20):
+        m = Method.RunLengthEncoding if i % 2 else Method.Uncompressed
+        n = int(rng.integers(1, 30))
+        v = np.repeat(rng.integers(0, 5, 4).astype(np.float64), n)[:n]
+        flats.append(v)
+        blobs.append(registry.compress(v, m, {}))
     flat = np.concatenate(flats)
     offs = np.concatenate(([0], np.cumsum([v.size for v in flats]))).astype(np.int64)
     got_flat, got_off = batch.decompress_batch(blobs)
