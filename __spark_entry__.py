@@ -174,6 +174,58 @@ def _rollup_events_oracle(width: int) -> str:
     """
 
 
+def _rollup_events_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three retention tiers (1m/1h/1d) in ONE row and ONE exchange
+    (r8, r7 verdict #2: frees two driver-budget slots vs the three
+    per-tier rows, which live on as ``x_rollup_events_*`` extras).
+    Spark-first shape: explode the tier widths onto the fact rows, then
+    a single groupBy(width, user_id, bucket) — one shuffle carries all
+    tiers, the same plan idea as the fused ROLLUP pipeline
+    (operators/pipeline.py) but keyed by explicit width so the oracle
+    is a plain cross-join replay."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "value",
+        F.explode(
+            F.array(F.lit(60), F.lit(3600), F.lit(86400))
+        ).alias("width"),
+    )
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / F.col("width")) * F.col("width")
+    ).alias("bucket")
+    return ev.groupBy(
+        F.col("width").cast("long").alias("width"), F.col("user_id"), bucket
+    ).agg(
+        _trunc(F.min("value")).alias("vmin"),
+        _trunc(F.max("value")).alias("vmax"),
+        _trunc(
+            _scaled_sum(F.col("value")).cast("double")
+            / (F.count("value") * 10000)
+        ).alias("vmean"),
+        F.count("value").alias("vcount"),
+    )
+
+
+def _rollup_events_catalog_oracle() -> str:
+    vmean = _SQL_TRUNC.format(
+        x=f"CAST({_SQL_SCALED_SUM.format(x='value')} AS DOUBLE) / (count(value) * 10000)",
+        d=4,
+    )
+    return f"""
+        SELECT CAST(w.width AS BIGINT) AS width,
+               user_id,
+               CAST(floor(epoch(ts)/w.width)*w.width AS BIGINT) AS bucket,
+               {_SQL_TRUNC.format(x='min(value)', d=4)} AS vmin,
+               {_SQL_TRUNC.format(x='max(value)', d=4)} AS vmax,
+               {vmean} AS vmean,
+               count(value) AS vcount
+        FROM events CROSS JOIN (SELECT unnest([60, 3600, 86400]) AS width) w
+        GROUP BY 1, 2, 3
+    """
+
+
 def _roundtrip_query(method: Method):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
@@ -2488,9 +2540,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "rollup_events_1m": _rollup_events_query("1m"),
-        "rollup_events_1h": _rollup_events_query("1h"),
-        "rollup_events_1d": _rollup_events_query("1d"),
+        # round 8 (r7 verdict #2): the three per-tier rollup rows
+        # consolidated into ONE single-exchange catalog row (per-tier
+        # variants live on as x_rollup_events_* extras) — frees a slot
+        # for the streaming-fuzzy replay oracle + one banked
+        "rollup_events_catalog": _rollup_events_catalog_query,
         "gapfill_locf_1h": _gapfill_locf_query,
         "gapfill_null_1h": _gapfill_null_query,
         "gapfill_linear_1d": _gapfill_linear_query,
@@ -2538,6 +2592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_compact_parity": _stream_compact_query,
         "stream_rollup_parity": _stream_rollup_parity_query,
         "stream_dedup_parity": _stream_dedup_parity_query,
+        # round 8 (r7 verdict #2): the streaming fuzzy-dedup replay
+        # oracle (full 3-micro-batch DuckDB replay incl. cross-batch
+        # greedy stages) promoted from extras into the driver budget
+        "stream_fuzzy_parity": _stream_fuzzy_parity_query,
         # whole-catalog gates (round-3 verdict #1: every method code
         # 0-26 must fit inside the driver's 50-row CORRECTNESS budget —
         # the per-method rows live on in extra_queries() and pytest)
@@ -2563,21 +2621,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     for lbl, code, cfg, chk in _INVARIANT_CATALOG:
         out[f"x_inv_{lbl}"] = _invariant_query(Method(code), cfg, chk)
-    out["x_stream_fuzzy_parity"] = _stream_fuzzy_parity_query
+    # per-tier debug granularity for rollup_events_catalog (r8)
+    out["x_rollup_events_1m"] = _rollup_events_query("1m")
+    out["x_rollup_events_1h"] = _rollup_events_query("1h")
+    out["x_rollup_events_1d"] = _rollup_events_query("1d")
     return out
 
 
 def extra_oracle_sql() -> dict[str, str]:
     out = {name: _BOUND_ORACLE for name in extra_queries()}
-    out["x_stream_fuzzy_parity"] = _STREAM_FUZZY_PARITY_ORACLE
+    out["x_rollup_events_1m"] = _rollup_events_oracle(60)
+    out["x_rollup_events_1h"] = _rollup_events_oracle(3600)
+    out["x_rollup_events_1d"] = _rollup_events_oracle(86400)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "rollup_events_1m": _rollup_events_oracle(60),
-        "rollup_events_1h": _rollup_events_oracle(3600),
-        "rollup_events_1d": _rollup_events_oracle(86400),
+        "rollup_events_catalog": _rollup_events_catalog_oracle(),
         "gapfill_locf_1h": _GAPFILL_LOCF_ORACLE,
         "gapfill_null_1h": _GAPFILL_NULL_ORACLE,
         "gapfill_linear_1d": _GAPFILL_LINEAR_ORACLE,
@@ -2622,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_compact_parity": _STREAM_COMPACT_ORACLE,
         "stream_rollup_parity": _STREAM_ROLLUP_PARITY_ORACLE,
         "stream_dedup_parity": _STREAM_DEDUP_ORACLE,
+        "stream_fuzzy_parity": _STREAM_FUZZY_PARITY_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "ivf_index_stats": _IVF_INDEX_STATS_ORACLE,
         # ivf_ann_topk: _kmeans is SQL-exact (sequential folds, RNG-free

@@ -246,8 +246,6 @@ def main() -> None:
     secondary: dict[str, object] = {
         name: qs[name]
         for name in (
-            "rollup_events_1m",
-            "rollup_events_1h",
             "gapfill_locf_1h",
             "roundtrip_chimp64",
             "tier_rollup_chars_1m",
@@ -258,6 +256,11 @@ def main() -> None:
             "ivf_ann_topk",
         )
     }
+    # per-tier rollups keep their historical bench names for
+    # round-over-round comparability; the driver row consolidated to
+    # rollup_events_catalog in r8, so source the factories directly
+    secondary["rollup_events_1m"] = entrymod._rollup_events_query("1m")
+    secondary["rollup_events_1h"] = entrymod._rollup_events_query("1h")
     # bench-scale minhash: same pipeline, 16 hashes / 4 bands (the
     # correctness query keeps 64/16 so the sf0.01 oracle is unchanged)
     secondary["minhash_jaccard_dups"] = lambda sp, d: entrymod.minhash_pairs(

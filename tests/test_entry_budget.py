@@ -67,8 +67,12 @@ def test_every_query_has_an_oracle():
 
 def test_extras_cover_catalog_per_method():
     ex = e.extra_queries()
-    # per-method catalog debug rows + the streaming fuzzy parity row
-    assert len(ex) == len(e._BOUND_CATALOG) + len(e._INVARIANT_CATALOG) + 1
-    assert "x_stream_fuzzy_parity" in ex
+    # per-method catalog debug rows + the three per-tier rollup rows
+    # consolidated into rollup_events_catalog in r8 (stream_fuzzy_parity
+    # was promoted INTO the driver budget the same round)
+    assert len(ex) == len(e._BOUND_CATALOG) + len(e._INVARIANT_CATALOG) + 3
+    for tier in ("1m", "1h", "1d"):
+        assert f"x_rollup_events_{tier}" in ex
+    assert "stream_fuzzy_parity" in e.queries()
     assert set(e.extra_oracle_sql()) == set(ex)
-    assert e.extra_oracle_sql()["x_stream_fuzzy_parity"] != e._BOUND_ORACLE
+    assert e.extra_oracle_sql()["x_rollup_events_1m"] != e._BOUND_ORACLE
