@@ -69,7 +69,12 @@ from tersets_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 
-__all__ = ["process_fuzzy_batch", "fuzzy_dedup_stream", "read_decisions"]
+__all__ = [
+    "process_fuzzy_batch",
+    "fuzzy_dedup_stream",
+    "read_decisions",
+    "recompact_fuzzy_store",
+]
 
 
 def _banded(
@@ -127,6 +132,7 @@ def process_fuzzy_batch(
     verify_cap: int = 256,
     seed: int = 42,
     signature: str = "fast",
+    keep_dropped_texts: bool = False,
 ) -> None:
     """Resolve ONE micro-batch against the survivor store (see module
     docstring for semantics). Writes three partitioned outputs under
@@ -134,6 +140,12 @@ def process_fuzzy_batch(
     index rows of new survivors, and ``decisions/`` one row per input
     doc — (doc_id, status in {'survivor','dup_in_batch','dup_of_earlier'},
     matched = the earlier survivor id or null).
+
+    ``keep_dropped_texts=True`` additionally writes ``dropped/``
+    (doc_id, text of this batch's non-survivors) so
+    :func:`recompact_fuzzy_store` can restore chain-exact groups without
+    a replayable corpus — opt-in because it makes the store grow with
+    ALL docs instead of survivors only.
 
     Callable directly (unit tests / backfill drivers) or through
     :func:`fuzzy_dedup_stream`. Doc ids must be globally unique across
@@ -256,6 +268,12 @@ def process_fuzzy_batch(
         batch_id,
     )
     _overwrite_partition(decisions, f"{store_path}/decisions", batch_id)
+    if keep_dropped_texts:
+        dropped_texts = (
+            docs.join(new_survivors.select("doc_id"), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        _overwrite_partition(dropped_texts, f"{store_path}/dropped", batch_id)
     banded.unpersist()
 
 
@@ -268,6 +286,150 @@ def fuzzy_dedup_stream(stream: DataFrame, store_path: str, **params):
         process_fuzzy_batch(batch_df, store_path, batch_id, **params)
 
     return stream.writeStream.foreachBatch(_proc)
+
+
+def _delete_batch_partitions_below(
+    spark: SparkSession, root: str, below: int
+) -> None:
+    """Drop ``batch=N`` partition dirs with N < below (Hadoop FS API, so
+    the same code works on local disk, HDFS, or object stores)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(hconf)
+    if not fs.exists(hroot):
+        return
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if name.startswith("batch=") and int(name[6:]) < below:
+            fs.delete(st.getPath(), True)
+
+
+def recompact_fuzzy_store(
+    spark: SparkSession,
+    store_path: str,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.5,
+    n_hashes: int = 30,
+    bands: int = 5,
+    bucket_cap: int | None = 1024,
+    seed: int = 42,
+    signature: str = "fast",
+    max_iter: int = 25,
+) -> dict:
+    """Periodic re-resolution compaction for the streaming fuzzy-dedup
+    store (r7 verdict #4 — the closure the module docstring names):
+    re-run the batch :func:`fuzzy_dedup_pipeline` GLOBALLY over every
+    doc the stream has seen and rewrite the store as ONE compacted
+    history partition, restoring chain-exact connected-component groups
+    at the compaction boundary. After compaction the store's decisions
+    are byte-for-byte what a single-batch run over the full seen corpus
+    would emit (``survivor`` / ``dup_in_batch``, matched null) — the
+    pinned greedy-arrival-order chain-break divergence is healed.
+
+    The docs the stream dropped are required to heal chains THROUGH a
+    dropped doc, so the full seen corpus comes from (in preference
+    order): ``corpus`` — a replayable archive of the original stream
+    (the production norm at 100 TB: streams land in object storage
+    anyway, so compaction re-reads instead of double-storing) — or the
+    ``dropped/`` store written by
+    ``process_fuzzy_batch(keep_dropped_texts=True)``. With neither, a
+    store that ever dropped a doc raises instead of silently compacting
+    to weaker survivor-only semantics.
+
+    Crash safety: the compacted state is written (checkpointed, lineage
+    severed from the store reads) to the highest seen batch partition
+    FIRST, then stale lower partitions are dropped; a crash in between
+    leaves duplicate history that the next compaction run (or this one,
+    re-run) collapses — ``dropDuplicates(doc_id)`` at entry makes the
+    re-run deterministic. Use a transactional table format in
+    production for atomic swap semantics.
+
+    Returns ``{"compacted", "batch", "n_docs", "n_survivors",
+    "cc_rounds"}``."""
+    surv = _read_store(spark, f"{store_path}/survivors")
+    dec = _read_store(spark, f"{store_path}/decisions")
+    if surv is None or dec is None:
+        return {"compacted": False, "reason": "empty store"}
+    max_batch = dec.agg(F.max("batch")).first()[0]
+
+    if corpus is not None:
+        seen = dec.select("doc_id").distinct()
+        texts = corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).join(seen, "doc_id", "left_semi")
+    else:
+        texts = surv.select("doc_id", "text")
+        dropped_store = _read_store(spark, f"{store_path}/dropped")
+        if dropped_store is not None:
+            texts = texts.unionByName(dropped_store.select("doc_id", "text"))
+        elif dec.filter(F.col("status") != "survivor").limit(1).count():
+            raise ValueError(
+                "recompact_fuzzy_store needs the dropped docs' texts to "
+                "restore chain-exact groups: pass `corpus` (replayable "
+                "stream archive) or run the stream with "
+                "keep_dropped_texts=True"
+            )
+    texts = texts.dropDuplicates(["doc_id"])
+
+    stats: dict = {}
+    clusters = fuzzy_dedup_pipeline(
+        texts,
+        text_col="text",
+        id_col="doc_id",
+        k_shingle=k_shingle,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        bands=bands,
+        bucket_cap=bucket_cap,
+        signature=signature,
+        max_iter=max_iter,
+        stats=stats,
+    )
+    dropped_now = clusters.filter(~F.col("is_survivor")).select("doc_id")
+    new_surv = texts.join(dropped_now, "doc_id", "left_anti")
+    banded = _banded(new_surv, k_shingle, n_hashes, bands, seed, signature)
+    decisions = texts.select("doc_id").join(
+        dropped_now.withColumn("_d", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("_d"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("survivor"))
+        .alias("status"),
+        F.lit(None).cast("long").alias("matched"),
+    )
+    dropped_texts = texts.join(dropped_now, "doc_id", "left_semi")
+
+    # sever lineage from the store partitions we are about to rewrite
+    new_surv = new_surv.localCheckpoint(eager=True)
+    banded = banded.localCheckpoint(eager=True)
+    decisions = decisions.localCheckpoint(eager=True)
+    dropped_texts = dropped_texts.localCheckpoint(eager=True)
+    n_docs = decisions.count()
+    n_survivors = new_surv.count()
+
+    cbid = int(max_batch)
+    _overwrite_partition(new_surv, f"{store_path}/survivors", cbid)
+    _overwrite_partition(banded, f"{store_path}/buckets", cbid)
+    _overwrite_partition(decisions, f"{store_path}/decisions", cbid)
+    had_dropped_store = (
+        _read_store(spark, f"{store_path}/dropped") is not None
+    )
+    if had_dropped_store:
+        _overwrite_partition(dropped_texts, f"{store_path}/dropped", cbid)
+    for sub in ("survivors", "buckets", "decisions", "dropped"):
+        _delete_batch_partitions_below(spark, f"{store_path}/{sub}", cbid)
+    return {
+        "compacted": True,
+        "batch": cbid,
+        "n_docs": int(n_docs),
+        "n_survivors": int(n_survivors),
+        "cc_rounds": stats.get("cc_rounds"),
+    }
 
 
 def read_decisions(spark: SparkSession, store_path: str) -> DataFrame:

@@ -177,3 +177,79 @@ def test_stream_smoke_foreachbatch(spark, tmp_path):
     dec = _decisions(spark, store)
     assert dec[7] == ("dup_of_earlier", 1)
     assert {d for d, (s, _) in dec.items() if s == "survivor"} == {1, 5, 6}
+
+
+def test_recompact_restores_chain_exact_groups(spark, tmp_path):
+    """r7 verdict #4: the periodic re-resolution compaction heals the
+    pinned chain-break divergence. Stream A|B|C one per batch with the
+    dropped-texts store enabled (C survives greedily because its only
+    link, B, was dropped); recompact; the store's decisions now equal a
+    single-global-batch run over {A,B,C} exactly, the survivor store is
+    one compacted partition, and the stream keeps flowing against the
+    compacted history."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+    )
+
+    a, b, c = _quarter_chain()
+    params = dict(threshold=0.5, n_hashes=30, bands=15)
+    rows = {1: a, 2: b, 3: c}
+    inc = str(tmp_path / "inc")
+    for bid, doc in enumerate(sorted(rows)):
+        df = spark.createDataFrame([(doc, rows[doc])], "doc_id long, text string")
+        process_fuzzy_batch(
+            df, inc, batch_id=bid, keep_dropped_texts=True, **params
+        )
+    assert _decisions(spark, inc)[3][0] == "survivor"  # pinned divergence
+
+    res = recompact_fuzzy_store(spark, inc, **params)
+    assert res["compacted"] and res["batch"] == 2
+    assert res["n_docs"] == 3 and res["n_survivors"] == 1
+
+    glob = str(tmp_path / "glob")
+    gdf = spark.createDataFrame(list(rows.items()), "doc_id long, text string")
+    process_fuzzy_batch(gdf, glob, batch_id=0, **params)
+    assert _decisions(spark, inc) == _decisions(spark, glob)
+
+    surv = spark.read.option("basePath", f"{inc}/survivors").parquet(
+        f"{inc}/survivors"
+    )
+    assert {(r.doc_id, r.batch) for r in surv.collect()} == {(1, 2)}
+
+    # stream continues against the compacted history: a near-dup of A
+    # arriving in batch 3 is dropped with the right match recorded
+    b3 = spark.createDataFrame([(9, a + "!")], "doc_id long, text string")
+    process_fuzzy_batch(b3, inc, batch_id=3, **params)
+    assert _decisions(spark, inc)[9] == ("dup_of_earlier", 1)
+
+
+def test_recompact_from_replayable_corpus(spark, tmp_path):
+    """Without the opt-in dropped-texts store, recompaction requires a
+    replayable corpus (the 100 TB production norm) — and raises a
+    descriptive error rather than silently compacting to weaker
+    survivor-only semantics when it has neither."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+    )
+
+    a, b, c = _quarter_chain()
+    params = dict(threshold=0.5, n_hashes=30, bands=15)
+    rows = {1: a, 2: b, 3: c}
+    inc = str(tmp_path / "inc")
+    for bid, doc in enumerate(sorted(rows)):
+        df = spark.createDataFrame([(doc, rows[doc])], "doc_id long, text string")
+        process_fuzzy_batch(df, inc, batch_id=bid, **params)  # no dropped/
+
+    with pytest.raises(ValueError, match="keep_dropped_texts"):
+        recompact_fuzzy_store(spark, inc, **params)
+
+    corpus = spark.createDataFrame(
+        list(rows.items()) + [(99, "never seen by the stream")],
+        "doc_id long, text string",
+    )
+    res = recompact_fuzzy_store(spark, inc, corpus=corpus, **params)
+    assert res["compacted"] and res["n_survivors"] == 1
+    dec = _decisions(spark, inc)
+    assert dec[1][0] == "survivor"
+    assert dec[2][0] == "dup_in_batch" and dec[3][0] == "dup_in_batch"
+    assert 99 not in dec  # corpus docs the stream never saw stay out
