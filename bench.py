@@ -297,6 +297,34 @@ def main() -> None:
         )
 
     secondary["fuzzy_corpus_shrink"] = run_fuzzy
+    # tier READ path (r7 verdict #3): the r7 batch decoders (5-7x
+    # single-core A/B) previously appeared in no timed stanza —
+    # tier_compact_roundtrip is correctness-only. Compact the flagship
+    # corpus's 1m rollup tier ONCE here (untimed setup, lineage severed
+    # so passes don't re-encode), then each pass times ONLY
+    # restore_tier -> count: one decompress_batch per Arrow batch per
+    # column (Chimp64 values + delta bucket blobs), tracked
+    # round-over-round the way ivf_ann_query tracks the probe path.
+    from tersets_spark.operators.retention import compact_tier, restore_tier
+    from tersets_spark.operators.rollup import rollup_tokens_base
+
+    _tier_roll = rollup_tokens_base(
+        synth_tokens(spark, n_docs, partitions=parts), 60
+    ).select(
+        "doc_id",
+        "bucket",
+        "vmin",
+        "vmax",
+        (F.col("vsum") / F.col("vcount")).alias("vmean"),
+    )
+    tier_blocks = compact_tier(_tier_roll).localCheckpoint(eager=True)
+    tier_decode_detail = {
+        "n_blocks": tier_blocks.count(),
+        "n_values": int(
+            tier_blocks.agg(F.sum("n_buckets")).collect()[0][0] or 0
+        ),
+    }
+    secondary["tier_decode"] = lambda sp, d: restore_tier(tier_blocks)
     # ivf_ann_topk phase split (round-6 verdict #3): at 100 TB the
     # k-means training + full-corpus index build is an amortized
     # lifecycle phase while probe-path queries run hot — time them
@@ -491,6 +519,9 @@ def main() -> None:
             # pass of fuzzy_corpus_shrink (r6 verdict #1 asked for the
             # round count alongside the end-to-end timing)
             "fuzzy_cc_rounds": fuzzy_cc_rounds,
+            # decode volume behind queries.tier_decode (r7 verdict #3):
+            # n_values per blob column (values + bucket blobs decode)
+            "tier_decode": tier_decode_detail,
             "probe_gate": _PAR_GATE,
             "reruns": reruns,
             # self-describing artifact (round-3 verdict #5): per-query
@@ -507,6 +538,12 @@ def main() -> None:
                     "CC semantics, ~2x cheaper signatures"
                 ),
                 "minhash_jaccard_64x16": "n_hashes=64 bands=16 (correctness config, 1 pass)",
+                "tier_decode": (
+                    "restore_tier over the flagship corpus's compacted "
+                    "1m tier (Chimp64 stat blobs + delta bucket blobs, "
+                    "3 stats/doc); blocks compacted once at setup, "
+                    "passes time decode only"
+                ),
                 "ivf_ann_topk": (
                     "build+query total via the phase-split runner (index "
                     "rebuilt per pass, cache cleared); ivf_ann_build / "
