@@ -2284,6 +2284,86 @@ _STREAM_FUZZY_PARITY_ORACLE = f"""
 """
 
 
+def _fuzzy_recompact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-resolution compaction parity (round 8, r7 verdict #4): run the
+    streaming fuzzy-dedup flow over the corpus as 3 deterministic
+    micro-batches (batch = doc_id % 3, dropped-texts store enabled),
+    then :func:`recompact_fuzzy_store` — the periodic batch job that
+    re-runs the global pipeline over every seen doc and rewrites the
+    store as one compacted partition, healing the documented
+    chain-break divergence. Emits the post-compaction per-doc decisions.
+
+    The oracle is the GLOBAL pipeline replay (the same exact md5 LSH +
+    cap + verify + recursive-CTE CC fixpoint the fuzzy_corpus_shrink
+    oracle uses): compaction's whole contract is that afterwards the
+    store equals a single-batch run, so a hash match here proves the
+    heal — the streaming greedy semantics being replaced are themselves
+    oracled by stream_fuzzy_parity."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        process_fuzzy_batch,
+        read_decisions,
+        recompact_fuzzy_store,
+    )
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="tersets_fuzzy_recompact_")
+    try:
+        for b in range(3):
+            process_fuzzy_batch(
+                docs.filter(F.col("doc_id") % 3 == b),
+                tmp,
+                b,
+                signature="auditable",
+                keep_dropped_texts=True,
+            )
+        recompact_fuzzy_store(spark, tmp, signature="auditable")
+        # sever lineage from the temp store before it is removed
+        return (
+            read_decisions(spark, tmp)
+            .select(
+                "doc_id",
+                "status",
+                F.col("matched").cast("long").alias("matched"),
+                F.col("batch").cast("int").alias("batch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: post-compaction decisions == a single global batch run: the
+#: full-corpus exact replay + min-label fixpoint, statuses collapsed to
+#: survivor / dup_in_batch (matched null), history partition = the
+#: highest seen batch id (2).
+_FUZZY_RECOMPACT_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_AUDIT_CTES}
+    , edges AS (
+        SELECT id_a AS eu, id_b AS ev FROM vpairs
+        UNION
+        SELECT id_b AS eu, id_a AS ev FROM vpairs
+    ), reach(v, l) AS (
+        SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges) t
+        UNION
+        SELECT e.ev, r.l FROM reach r JOIN edges e ON e.eu = r.v
+    ), lbl AS (
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+    )
+    SELECT d.doc_id,
+           CASE WHEN l.doc_id IS NOT NULL AND l.doc_id != l.cluster_id
+                THEN 'dup_in_batch' ELSE 'survivor' END AS status,
+           CAST(NULL AS BIGINT) AS matched,
+           CAST(2 AS INT) AS batch
+    FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+"""
+
+
 def _embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via hyperplane LSH, HARD oracle:
     DuckDB replays the exact bucketing and cosine because both engines
@@ -2596,6 +2676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle (full 3-micro-batch DuckDB replay incl. cross-batch
         # greedy stages) promoted from extras into the driver budget
         "stream_fuzzy_parity": _stream_fuzzy_parity_query,
+        # round 8 (r7 verdict #4): the periodic re-resolution compaction
+        # — post-compaction store must equal a global batch run (50th
+        # and last slot)
+        "fuzzy_recompact_parity": _fuzzy_recompact_query,
         # whole-catalog gates (round-3 verdict #1: every method code
         # 0-26 must fit inside the driver's 50-row CORRECTNESS budget —
         # the per-method rows live on in extra_queries() and pytest)
@@ -2684,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_rollup_parity": _STREAM_ROLLUP_PARITY_ORACLE,
         "stream_dedup_parity": _STREAM_DEDUP_ORACLE,
         "stream_fuzzy_parity": _STREAM_FUZZY_PARITY_ORACLE,
+        "fuzzy_recompact_parity": _FUZZY_RECOMPACT_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "ivf_index_stats": _IVF_INDEX_STATS_ORACLE,
         # ivf_ann_topk: _kmeans is SQL-exact (sequential folds, RNG-free
