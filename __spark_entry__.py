@@ -2341,7 +2341,10 @@ def _fuzzy_recompact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: post-compaction decisions == a single global batch run: the
 #: full-corpus exact replay + min-label fixpoint, statuses collapsed to
 #: survivor / dup_in_batch (matched null), history partition = the
-#: highest seen batch id (2).
+#: highest seen batch id. Derived from the data — max(doc_id % 3) over
+#: documents, matching the Spark side's max(batch) over the decisions
+#: store — not hardcoded to 2 (r8 ADVICE: a fixture whose doc_ids skip
+#: residue 2 would otherwise mismatch).
 _FUZZY_RECOMPACT_ORACLE = f"""
     WITH RECURSIVE {_MINHASH_AUDIT_CTES}
     , edges AS (
@@ -2359,7 +2362,7 @@ _FUZZY_RECOMPACT_ORACLE = f"""
            CASE WHEN l.doc_id IS NOT NULL AND l.doc_id != l.cluster_id
                 THEN 'dup_in_batch' ELSE 'survivor' END AS status,
            CAST(NULL AS BIGINT) AS matched,
-           CAST(2 AS INT) AS batch
+           CAST((SELECT max(doc_id % 3) FROM documents) AS INT) AS batch
     FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
 """
 

@@ -345,8 +345,18 @@ def recompact_fuzzy_store(
     FIRST, then stale lower partitions are dropped; a crash in between
     leaves duplicate history that the next compaction run (or this one,
     re-run) collapses — ``dropDuplicates(doc_id)`` at entry makes the
-    re-run deterministic. Use a transactional table format in
-    production for atomic swap semantics.
+    re-run deterministic. Within the compacted-partition writes,
+    ``dropped/`` goes FIRST (r8 ADVICE): the new dropped set holds the
+    texts of every currently-non-survivor doc, so once it lands, every
+    seen doc's text exists in dropped ∪ old-survivors regardless of
+    where the process dies — overwriting ``survivors/`` first would
+    leave a batch-``cbid`` survivor that compaction demotes to dup with
+    its text in NEITHER store. The entry-time coverage assertion (every
+    doc_id in ``decisions/`` must have a text) turns any residual
+    partial-state hole — including some batches having run
+    ``keep_dropped_texts=False`` — into a loud error instead of a doc
+    silently vanishing from decisions. Use a transactional table format
+    in production for atomic swap semantics.
 
     Returns ``{"compacted", "batch", "n_docs", "n_survivors",
     "cc_rounds"}``."""
@@ -355,7 +365,13 @@ def recompact_fuzzy_store(
     if surv is None or dec is None:
         return {"compacted": False, "reason": "empty store"}
     max_batch = dec.agg(F.max("batch")).first()[0]
+    if max_batch is None:
+        # readable store, zero decision rows (a stream that only ever
+        # processed empty micro-batches writes empty partitions) —
+        # nothing to compact; int(None) would TypeError (r8 ADVICE)
+        return {"compacted": False, "reason": "empty store"}
 
+    dropped_store = _read_store(spark, f"{store_path}/dropped")
     if corpus is not None:
         seen = dec.select("doc_id").distinct()
         texts = corpus.select(
@@ -364,7 +380,6 @@ def recompact_fuzzy_store(
         ).join(seen, "doc_id", "left_semi")
     else:
         texts = surv.select("doc_id", "text")
-        dropped_store = _read_store(spark, f"{store_path}/dropped")
         if dropped_store is not None:
             texts = texts.unionByName(dropped_store.select("doc_id", "text"))
         elif dec.filter(F.col("status") != "survivor").limit(1).count():
@@ -375,6 +390,28 @@ def recompact_fuzzy_store(
                 "keep_dropped_texts=True"
             )
     texts = texts.dropDuplicates(["doc_id"])
+    # every doc the stream ever decided on must have a text to feed the
+    # global re-run — a PARTIAL dropped store (some batches ran
+    # keep_dropped_texts=False, a crash ate a partition) or a corpus
+    # missing seen docs would otherwise make those docs silently vanish
+    # from the compacted decisions (r8 ADVICE medium). One bounded
+    # action over the seen corpus, same scale as the compaction itself.
+    n_missing = (
+        dec.select("doc_id")
+        .distinct()
+        .join(texts.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"recompact_fuzzy_store: {n_missing} seen doc(s) in the "
+            "decisions store have no text in "
+            + ("the supplied corpus" if corpus is not None
+               else "the survivors/dropped stores")
+            + " — refusing to silently drop them from the compacted "
+            "decisions (run every batch with keep_dropped_texts=True, "
+            "or pass the full replayable corpus)"
+        )
 
     stats: dict = {}
     clusters = fuzzy_dedup_pipeline(
@@ -413,14 +450,18 @@ def recompact_fuzzy_store(
     n_survivors = new_surv.count()
 
     cbid = int(max_batch)
+    # dropped/ FIRST (see docstring crash-safety): after this write,
+    # dropped@cbid ∪ survivors(old, all partitions) covers every seen
+    # doc's text through every later crash window. Skipped only when a
+    # replayable corpus is the archive AND the store never kept dropped
+    # texts; with corpus=None it is always written — compaction itself
+    # can demote docs (e.g. re-run with a lower threshold than the
+    # stream used), and their texts must stay recompactable.
+    if dropped_store is not None or corpus is None:
+        _overwrite_partition(dropped_texts, f"{store_path}/dropped", cbid)
     _overwrite_partition(new_surv, f"{store_path}/survivors", cbid)
     _overwrite_partition(banded, f"{store_path}/buckets", cbid)
     _overwrite_partition(decisions, f"{store_path}/decisions", cbid)
-    had_dropped_store = (
-        _read_store(spark, f"{store_path}/dropped") is not None
-    )
-    if had_dropped_store:
-        _overwrite_partition(dropped_texts, f"{store_path}/dropped", cbid)
     for sub in ("survivors", "buckets", "decisions", "dropped"):
         _delete_batch_partitions_below(spark, f"{store_path}/{sub}", cbid)
     return {

@@ -223,6 +223,117 @@ def test_recompact_restores_chain_exact_groups(spark, tmp_path):
     assert _decisions(spark, inc)[9] == ("dup_of_earlier", 1)
 
 
+def test_recompact_empty_store_zero_rows(spark, tmp_path):
+    """r8 ADVICE low: a store whose partitions exist but hold ZERO
+    decision rows (a stream that only ever processed empty
+    micro-batches) returns a clean not-compacted result instead of
+    raising TypeError on int(None)."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+    )
+
+    store = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    process_fuzzy_batch(empty, store, batch_id=0)
+    res = recompact_fuzzy_store(spark, store)
+    assert res == {"compacted": False, "reason": "empty store"}
+
+
+def test_recompact_partial_dropped_store_raises(spark, tmp_path):
+    """r8 ADVICE medium (detection half): a dropped-texts store that
+    EXISTS but does not cover every seen doc — here batch 0 ran
+    keep_dropped_texts=False and dropped B, batch 1 ran =True — must
+    make recompaction raise instead of silently compacting without B
+    (which would make B vanish from the decisions store too)."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+    )
+
+    a, b, c = _quarter_chain()
+    params = dict(threshold=0.5, n_hashes=30, bands=15)
+    inc = str(tmp_path / "inc")
+    b0 = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    process_fuzzy_batch(b0, inc, batch_id=0, **params)  # drops 2, no text kept
+    b1 = spark.createDataFrame([(3, c)], "doc_id long, text string")
+    process_fuzzy_batch(b1, inc, batch_id=1, keep_dropped_texts=True, **params)
+    assert _decisions(spark, inc)[2][0] == "dup_in_batch"
+
+    with pytest.raises(ValueError, match="no text"):
+        recompact_fuzzy_store(spark, inc, **params)
+
+    # the full replayable corpus remains the documented recovery path
+    corpus = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    res = recompact_fuzzy_store(spark, inc, corpus=corpus, **params)
+    assert res["compacted"] and res["n_docs"] == 3 and res["n_survivors"] == 1
+
+
+def test_recompact_writes_dropped_partition_first(spark, tmp_path, monkeypatch):
+    """r8 ADVICE medium (prevention half): the compacted dropped-texts
+    partition must be written BEFORE survivors/ is overwritten — a
+    crash between the two otherwise leaves a batch-cbid survivor that
+    compaction demotes to dup with its text in neither store."""
+    import sys as _sys
+
+    # note: `import ...fuzzy_dedup_stream as mod` would bind the
+    # FUNCTION of the same name re-exported by streaming/__init__
+    mod = _sys.modules["tersets_spark.streaming.fuzzy_dedup_stream"]
+
+    a, b, c = _quarter_chain()
+    params = dict(threshold=0.5, n_hashes=30, bands=15)
+    inc = str(tmp_path / "inc")
+    for bid, (doc, txt) in enumerate(((1, a), (2, b), (3, c))):
+        df = spark.createDataFrame([(doc, txt)], "doc_id long, text string")
+        process_fuzzy_batch(
+            df, inc, batch_id=bid, keep_dropped_texts=True, **params
+        )
+
+    order: list[str] = []
+    real = mod._overwrite_partition
+
+    def spy(df, root, bid):
+        order.append(root.rsplit("/", 1)[-1])
+        real(df, root, bid)
+
+    monkeypatch.setattr(mod, "_overwrite_partition", spy)
+    res = mod.recompact_fuzzy_store(spark, inc, **params)
+    assert res["compacted"] and res["n_survivors"] == 1
+    assert order and order[0] == "dropped"
+    assert order.index("dropped") < order.index("survivors")
+
+
+def test_recompact_with_new_params_keeps_demoted_texts(spark, tmp_path):
+    """Compaction can itself demote docs the stream kept (re-run with a
+    lower threshold than the stream used): with no replayable corpus,
+    the demoted docs' texts must land in dropped/ — the store stays
+    self-contained and a SECOND compaction still covers every seen
+    doc instead of raising."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+    )
+
+    a, b, _c = _quarter_chain()
+    inc = str(tmp_path / "inc")
+    # stream at a threshold too high for the A~B pair: both survive
+    hi = dict(threshold=0.9, n_hashes=30, bands=15)
+    for bid, (doc, txt) in enumerate(((1, a), (2, b))):
+        df = spark.createDataFrame([(doc, txt)], "doc_id long, text string")
+        process_fuzzy_batch(df, inc, batch_id=bid, **hi)
+    assert {s for _, (s, _m) in _decisions(spark, inc).items()} == {"survivor"}
+
+    lo = dict(threshold=0.5, n_hashes=30, bands=15)
+    res = recompact_fuzzy_store(spark, inc, **lo)
+    assert res["compacted"] and res["n_docs"] == 2 and res["n_survivors"] == 1
+    dropped = spark.read.option("basePath", f"{inc}/dropped").parquet(
+        f"{inc}/dropped"
+    )
+    assert {r.doc_id for r in dropped.collect()} == {2}
+    # and the store remains recompactable without a corpus
+    res2 = recompact_fuzzy_store(spark, inc, **lo)
+    assert res2["compacted"] and res2["n_survivors"] == 1
+
+
 def test_recompact_from_replayable_corpus(spark, tmp_path):
     """Without the opt-in dropped-texts store, recompaction requires a
     replayable corpus (the 100 TB production norm) — and raises a
