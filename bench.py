@@ -55,6 +55,41 @@ def _parallel_probe(workers: int = 8) -> float:
 #: 4.3-4.6 on 2026-08-17; throttled transients read >= 7-10
 _PAR_GATE = 6.0
 
+#: printed-line size budget: the driver records the artifact from a
+#: bounded stdout tail capture, and round 8's line (~2.4 KB of embedded
+#: prose) grew past it — the headline was clipped out and the round
+#: could not be scored (r8 verdict #1). The static prose now lives in
+#: BENCH.md; if the line still outgrows this budget, _emit slims the
+#: printed copy while BENCH_LAST.json keeps everything.
+_LINE_BUDGET = 4096
+
+
+def _emit(out: dict, out_dir: "str | None" = None) -> None:
+    """Print the ONE JSON line AND durably write it to BENCH_LAST.json
+    next to this file, so a truncated stdout capture can never again
+    lose the headline (r8 verdict #1a). The file always carries the
+    full artifact; the printed line is slimmed (detail replaced by a
+    pointer) only if it would exceed _LINE_BUDGET. Headline keys are
+    asserted present — a malformed artifact should fail loudly here,
+    not at judging time. SPARK_GRAFT_BENCH_OUT redirects the file
+    (tests; official runs keep the repo-root default)."""
+    for key in ("metric", "value", "unit", "sf"):
+        assert key in out, f"bench artifact missing required key {key!r}"
+    repo = (
+        out_dir
+        or os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        or os.path.dirname(os.path.abspath(__file__))
+    )
+    with open(os.path.join(repo, "BENCH_LAST.json"), "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    line = json.dumps(out)
+    if len(line) > _LINE_BUDGET:
+        slim = dict(out)
+        slim["detail"] = "clipped for capture: full detail in BENCH_LAST.json"
+        line = json.dumps(slim)
+    print(line)
+
 
 def _wait_for_calm_host(max_wait_s: int) -> "tuple[float, float]":
     """CPU-credit throttle guard (CLAUDE.md): this sandbox's hypervisor
@@ -207,7 +242,7 @@ def main() -> None:
     toks.unpersist()  # executor storage back to the secondary queries
     timings["flagship_compress_rollup"] = round(flagship_sec, 3)
     if not agg["ok"]:
-        print(json.dumps({"metric": "tokens_per_sec", "value": 0.0, "unit": "sec", "error": "roundtrip failed", "sf": sf}))
+        _emit({"metric": "tokens_per_sec", "value": 0.0, "unit": "sec", "error": "roundtrip failed", "sf": sf})
         return
     tokens_per_sec = total_tokens / flagship_sec
 
@@ -233,7 +268,7 @@ def main() -> None:
             },
         }
         spark.stop()
-        print(json.dumps(out))
+        _emit(out)
         return
 
     # ---- secondary queries: interleaved best-of-2 ----
@@ -325,6 +360,49 @@ def main() -> None:
         ),
     }
     secondary["tier_decode"] = lambda sp, d: restore_tier(tier_blocks)
+    # streaming-store re-resolution compaction (r8 verdict #4): the
+    # stream's scheduled heavyweight maintenance job was correctness-
+    # only (fuzzy_recompact_parity). Per pass: rebuild the 3-micro-batch
+    # store UNTIMED (the driver row's shape, 'fast' signatures like
+    # fuzzy_corpus_shrink — the cold-pipeline number it compares to),
+    # then time recompact_fuzzy_store alone. CC rounds land in
+    # detail.fuzzy_recompact.
+    recompact_detail: dict = {"cc_rounds": []}
+
+    def run_recompact(sp, d) -> float:
+        import shutil
+        import tempfile
+
+        from tersets_spark.streaming.fuzzy_dedup_stream import (
+            process_fuzzy_batch,
+            recompact_fuzzy_store,
+        )
+
+        docs_all = entrymod._documents(sp, d).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        tmp = tempfile.mkdtemp(prefix="bench_fuzzy_recompact_")
+        try:
+            for b in range(3):
+                process_fuzzy_batch(
+                    docs_all.filter(F.col("doc_id") % 3 == b),
+                    tmp,
+                    b,
+                    signature="fast",
+                    keep_dropped_texts=True,
+                )
+            t0 = time.time()
+            res = recompact_fuzzy_store(sp, tmp, signature="fast")
+            dt = time.time() - t0
+            recompact_detail["cc_rounds"].append(res.get("cc_rounds"))
+            recompact_detail["n_docs"] = res.get("n_docs")
+            recompact_detail["n_survivors"] = res.get("n_survivors")
+            return dt
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            sp.catalog.clearCache()
+
+    secondary["fuzzy_recompact"] = run_recompact
     # ivf_ann_topk phase split (round-6 verdict #3): at 100 TB the
     # k-means training + full-corpus index build is an amortized
     # lifecycle phase while probe-path queries run hot — time them
@@ -360,6 +438,9 @@ def main() -> None:
     _CACHEY = ("minhash_jaccard_dups", "ivf_ann_topk", "fuzzy_corpus_shrink")
 
     def run_one(name: str) -> float:
+        if name == "fuzzy_recompact":
+            # times ONLY the compaction; store rebuild is untimed setup
+            return run_recompact(spark, sf_dir)
         t0 = time.time()
         if name == "ivf_ann_topk":
             run_ivf_split(spark, sf_dir)  # phase-split runner, same total
@@ -500,12 +581,14 @@ def main() -> None:
             "rollup_rows": int(n_roll),
             "cpus": official_cpus,
             "requested_cpus": cpus,
+            # static protocol/override prose lives in BENCH.md §"official
+            # bench protocol" (r8 verdict #1a: ~2.4 KB of embedded prose
+            # grew the line past the driver's capture and clipped the
+            # headline) — the line carries pointers only
             "normalization": (
-                f"official numbers measured at local[{official_cpus}] — the "
-                "largest parallelism this host can hold calm (drained "
-                "steady state ~4.7 core-equivalents; r5's local[32] "
-                "artifact was 1.6-3.6x throttle-inflated); the requested "
-                "parallelism runs as detail.full_parallelism"
+                f"official@local[{official_cpus}], requested parallelism in "
+                "detail.full_parallelism; protocol + per-query config "
+                "overrides: BENCH.md"
             ),
             "full_parallelism": full_stanza,
             "calm_probe_ms": round(probe_s * 1000, 1),
@@ -522,39 +605,22 @@ def main() -> None:
             # decode volume behind queries.tier_decode (r7 verdict #3):
             # n_values per blob column (values + bucket blobs decode)
             "tier_decode": tier_decode_detail,
+            # compaction volume + CC rounds behind queries.fuzzy_recompact
+            # (r8 verdict #4); store rebuild is untimed per-pass setup
+            "fuzzy_recompact": recompact_detail,
             "probe_gate": _PAR_GATE,
             "reruns": reruns,
-            # self-describing artifact (round-3 verdict #5): per-query
-            # config overrides + pass counts, so a number is never
-            # silently a config change
             "passes": passes,
             "flagship_repeats": repeats,
-            "query_overrides": {
-                "minhash_jaccard_dups": "n_hashes=16 bands=4 (bench scale)",
-                "fuzzy_corpus_shrink": (
-                    "signature='fast' (numpy rolling-hash, production "
-                    "default); the correctness row uses 'auditable' for "
-                    "the exact-replay oracle — identical banding/verify/"
-                    "CC semantics, ~2x cheaper signatures"
-                ),
-                "minhash_jaccard_64x16": "n_hashes=64 bands=16 (correctness config, 1 pass)",
-                "tier_decode": (
-                    "restore_tier over the flagship corpus's compacted "
-                    "1m tier (Chimp64 stat blobs + delta bucket blobs, "
-                    "3 stats/doc); blocks compacted once at setup, "
-                    "passes time decode only"
-                ),
-                "ivf_ann_topk": (
-                    "build+query total via the phase-split runner (index "
-                    "rebuilt per pass, cache cleared); ivf_ann_build / "
-                    "ivf_ann_query are the per-phase mins — compare "
-                    "ivf_ann_query round-over-round (r6 verdict #3)"
-                ),
-            },
+            # self-describing artifact (round-3 verdict #5), relocated:
+            # the per-query config-override prose is static and lives in
+            # BENCH.md §"official bench protocol" (r8 verdict #1a — the
+            # embedded prose grew the line past the driver's capture)
+            "query_overrides": "see BENCH.md (static per-query configs)",
         },
     }
     spark.stop()
-    print(json.dumps(out))
+    _emit(out)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -43,6 +43,97 @@ def test_rerun_reason_rules():
     assert bench._rerun_reason([(2.0, 7.0)]) == "best at failed probe"
 
 
+def _sample_artifact() -> dict:
+    return {
+        "metric": "tokens_per_sec",
+        "value": 17_080_000.0,
+        "unit": "sec",
+        "queries": {"flagship_compress_rollup": 2.34, "tier_decode": 0.5},
+        "sf": 0.1,
+        "detail": {"cpus": 8, "probe_gate": 6.0},
+    }
+
+
+def test_emit_writes_durable_file_and_slim_line(tmp_path, capsys):
+    """r8 verdict #1a/#5: the artifact is written to BENCH_LAST.json
+    (durable against stdout-tail truncation), the printed line parses,
+    carries the headline keys, and stays under the capture budget."""
+    import json
+
+    out = _sample_artifact()
+    bench._emit(out, out_dir=str(tmp_path))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "tokens_per_sec" and parsed["value"] > 0
+    assert "flagship_compress_rollup" in parsed["queries"]
+    on_disk = json.loads((tmp_path / "BENCH_LAST.json").read_text())
+    assert on_disk == out
+
+
+def test_emit_oversized_detail_never_clips_headline(tmp_path, capsys):
+    """If detail outgrows the line budget the printed copy is slimmed —
+    the headline keys survive in the line AND the file keeps the full
+    detail (the exact failure mode that lost the r8 headline)."""
+    import json
+
+    out = _sample_artifact()
+    out["detail"]["prose"] = "x" * (2 * bench._LINE_BUDGET)
+    bench._emit(out, out_dir=str(tmp_path))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["value"] == out["value"]
+    assert parsed["queries"]["flagship_compress_rollup"] == 2.34
+    assert "BENCH_LAST.json" in parsed["detail"]  # pointer, not prose
+    on_disk = json.loads((tmp_path / "BENCH_LAST.json").read_text())
+    assert on_disk["detail"]["prose"] == out["detail"]["prose"]
+
+
+def test_emit_rejects_artifact_missing_headline_keys(tmp_path):
+    import pytest
+
+    with pytest.raises(AssertionError, match="value"):
+        bench._emit({"metric": "tokens_per_sec", "unit": "sec", "sf": 0.1},
+                    out_dir=str(tmp_path))
+
+
+def test_bench_end_to_end_contract(tmp_path):
+    """The real bench binary at toy scale (sf0.001, flagship-only, calm
+    gate skipped): the last stdout line must parse as the driver
+    contract JSON, fit the capture budget, and match BENCH_LAST.json —
+    the r8 failure mode (headline truncated out of the captured tail,
+    no durable copy anywhere) can never recur silently."""
+    import json
+    import os
+    import subprocess
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_CALM_WAIT="0",
+        SPARK_GRAFT_BENCH_REPEAT="1",
+        SPARK_GRAFT_BENCH_FLAGSHIP_ONLY="1",
+        SPARK_GRAFT_BENCH_DOCS="200",
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path),
+    )
+    proc = subprocess.run(
+        [os.sys.executable, "/root/repo/bench.py"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    assert len(line) <= bench._LINE_BUDGET
+    out = json.loads(line)
+    assert out["metric"] == "tokens_per_sec" and out["value"] > 0
+    assert out["queries"]["flagship_compress_rollup"] > 0
+    assert out["sf"] == 0.001
+    on_disk = json.loads((tmp_path / "BENCH_LAST.json").read_text())
+    assert on_disk["value"] == out["value"]
+    assert on_disk["queries"] == out["queries"]
+
+
 def test_sf_from_dir():
     assert bench._sf_from_dir("/root/testdata/sf0.01") == 0.01
     assert bench._sf_from_dir("/root/testdata/sf0.1/") == 0.1
