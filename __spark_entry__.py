@@ -2285,20 +2285,24 @@ _STREAM_FUZZY_PARITY_ORACLE = f"""
 
 
 def _fuzzy_recompact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-resolution compaction parity (round 8, r7 verdict #4): run the
-    streaming fuzzy-dedup flow over the corpus as 3 deterministic
-    micro-batches (batch = doc_id % 3, dropped-texts store enabled),
-    then :func:`recompact_fuzzy_store` — the periodic batch job that
-    re-runs the global pipeline over every seen doc and rewrites the
-    store as one compacted partition, healing the documented
-    chain-break divergence. Emits the post-compaction per-doc decisions.
+    """Re-resolution compaction parity (round 8, r7 verdict #4; round 9
+    adds the incremental path): run the streaming fuzzy-dedup flow over
+    the corpus as 3 deterministic micro-batches (batch = doc_id % 3,
+    dropped-texts store enabled), FULL-compact after the first two
+    (:func:`recompact_fuzzy_store` — persists the cluster map + all-docs
+    LSH index), stream the third batch, then
+    :func:`recompact_fuzzy_store_incremental` — the O(Δ)-compute
+    maintenance pass that re-resolves only components touched by the
+    new batch via cluster contraction. Emits the post-compaction
+    per-doc decisions, so BOTH compaction modes sit on this row's hash.
 
     The oracle is the GLOBAL pipeline replay (the same exact md5 LSH +
     cap + verify + recursive-CTE CC fixpoint the fuzzy_corpus_shrink
     oracle uses): compaction's whole contract is that afterwards the
-    store equals a single-batch run, so a hash match here proves the
-    heal — the streaming greedy semantics being replaced are themselves
-    oracled by stream_fuzzy_parity."""
+    store equals a single-batch run, so a hash match here proves both
+    the heal and the incremental pass's exactness — the streaming
+    greedy semantics being replaced are themselves oracled by
+    stream_fuzzy_parity."""
     import shutil
     import tempfile
 
@@ -2307,6 +2311,7 @@ def _fuzzy_recompact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         process_fuzzy_batch,
         read_decisions,
         recompact_fuzzy_store,
+        recompact_fuzzy_store_incremental,
     )
 
     docs = _documents(spark, sf_dir).select(
@@ -2315,6 +2320,8 @@ def _fuzzy_recompact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="tersets_fuzzy_recompact_")
     try:
         for b in range(3):
+            if b == 2:
+                recompact_fuzzy_store(spark, tmp, signature="auditable")
             process_fuzzy_batch(
                 docs.filter(F.col("doc_id") % 3 == b),
                 tmp,
@@ -2322,7 +2329,7 @@ def _fuzzy_recompact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 signature="auditable",
                 keep_dropped_texts=True,
             )
-        recompact_fuzzy_store(spark, tmp, signature="auditable")
+        recompact_fuzzy_store_incremental(spark, tmp)
         # sever lineage from the temp store before it is removed
         return (
             read_decisions(spark, tmp)

@@ -65,6 +65,7 @@ from pyspark.sql.window import Window
 from tersets_spark.operators.dedup import (
     _band_buckets_batch,
     _banded_auditable,
+    connected_components,
     fuzzy_dedup_pipeline,
     ngram_jaccard_pairs,
 )
@@ -74,6 +75,7 @@ __all__ = [
     "fuzzy_dedup_stream",
     "read_decisions",
     "recompact_fuzzy_store",
+    "recompact_fuzzy_store_incremental",
 ]
 
 
@@ -305,6 +307,155 @@ def _delete_batch_partitions_below(
             fs.delete(st.getPath(), True)
 
 
+_STORE_SUBDIRS = (
+    "survivors", "buckets", "decisions", "dropped",
+    "allbuckets", "meta", "clusters",
+)
+
+
+def _seen_texts(
+    spark: SparkSession,
+    store_path: str,
+    dec: DataFrame,
+    corpus: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(doc_id, text) for every doc the decisions store has seen, from
+    (in preference order) the replayable ``corpus`` or the survivors ∪
+    dropped stores — with the r8-ADVICE coverage assertion: a seen doc
+    with no text anywhere raises instead of silently vanishing from the
+    compacted decisions. Shared by the full and incremental
+    recompaction paths."""
+    dropped_store = _read_store(spark, f"{store_path}/dropped")
+    surv = _read_store(spark, f"{store_path}/survivors")
+    if corpus is not None:
+        seen = dec.select("doc_id").distinct()
+        texts = corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).join(seen, "doc_id", "left_semi")
+    else:
+        texts = surv.select("doc_id", "text")
+        if dropped_store is not None:
+            texts = texts.unionByName(dropped_store.select("doc_id", "text"))
+        elif dec.filter(F.col("status") != "survivor").limit(1).count():
+            raise ValueError(
+                "recompact_fuzzy_store needs the dropped docs' texts to "
+                "restore chain-exact groups: pass `corpus` (replayable "
+                "stream archive) or run the stream with "
+                "keep_dropped_texts=True"
+            )
+    # persist: texts is read ~5x per compaction (coverage assert,
+    # banding, verify's shingle semi-join, survivor/dropped rewrite) and
+    # each uncached read repeats the store scan + the dropDuplicates
+    # shuffle. The coverage count below materializes the cache BEFORE
+    # any fan-out consumer (the r4/r5 AQE broadcast-build trap);
+    # downstream consumers are plain shuffle joins, which share a cache
+    # fine (CLAUDE.md playbook). Caller unpersists.
+    texts = texts.dropDuplicates(["doc_id"]).persist()
+    # every doc the stream ever decided on must have a text to feed the
+    # re-run — a PARTIAL dropped store (some batches ran
+    # keep_dropped_texts=False, a crash ate a partition) or a corpus
+    # missing seen docs would otherwise make those docs silently vanish
+    # from the compacted decisions (r8 ADVICE medium). One bounded
+    # action over the seen corpus, same scale as the compaction itself.
+    n_missing = (
+        dec.select("doc_id")
+        .distinct()
+        .join(texts.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"recompact_fuzzy_store: {n_missing} seen doc(s) in the "
+            "decisions store have no text in "
+            + ("the supplied corpus" if corpus is not None
+               else "the survivors/dropped stores")
+            + " — refusing to silently drop them from the compacted "
+            "decisions (run every batch with keep_dropped_texts=True, "
+            "or pass the full replayable corpus)"
+        )
+    return texts, dropped_store
+
+
+def _write_compacted_state(
+    spark: SparkSession,
+    store_path: str,
+    cbid: int,
+    texts: DataFrame,
+    cluster_map: DataFrame,
+    allbuckets: DataFrame,
+    meta_row: DataFrame,
+    write_dropped: bool,
+    stats: dict,
+    extra: dict | None = None,
+) -> dict:
+    """Derive decisions/survivors/dropped from the final ``cluster_map``
+    (doc_id, cluster_id; survivor iff doc_id == cluster_id), checkpoint
+    everything read from store partitions about to be rewritten, and
+    commit the compacted state. Shared by the full and incremental
+    recompaction paths.
+
+    Crash-safe write order: ``dropped/`` FIRST (after it lands, every
+    seen doc's text exists in dropped ∪ old-survivors through every
+    later crash window — r8 ADVICE), then survivors/buckets/allbuckets/
+    meta/decisions, then ``clusters/`` LAST as the commit marker (the
+    incremental path detects the last completed compaction as
+    max(batch) over ``clusters/``, so a crash anywhere earlier makes
+    the next run redo the whole compaction idempotently instead of
+    trusting half-written state), then stale lower partitions drop."""
+    # sever lineage from the store partitions we are about to rewrite —
+    # but only for plans that actually READ them: the cluster map is
+    # checkpointed ONCE and decisions/survivor-split derive from the
+    # checkpointed copy (cheap projections/joins, no store lineage left
+    # to sever, no repeated materialization of the map's plan).
+    clusters_out = cluster_map.localCheckpoint(eager=True)
+    decisions = clusters_out.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("survivor"))
+        .alias("status"),
+        F.lit(None).cast("long").alias("matched"),
+    )
+    dropped_now = clusters_out.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    new_surv = texts.join(dropped_now, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    dropped_texts = texts.join(dropped_now, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    allbuckets = allbuckets.localCheckpoint(eager=True)
+    surv_buckets = allbuckets.join(
+        new_surv.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "band", "bucket")
+    n_docs = clusters_out.count()
+    n_survivors = new_surv.count()
+
+    if write_dropped:
+        _overwrite_partition(dropped_texts, f"{store_path}/dropped", cbid)
+    _overwrite_partition(new_surv, f"{store_path}/survivors", cbid)
+    _overwrite_partition(surv_buckets, f"{store_path}/buckets", cbid)
+    _overwrite_partition(allbuckets, f"{store_path}/allbuckets", cbid)
+    _overwrite_partition(meta_row, f"{store_path}/meta", cbid)
+    _overwrite_partition(decisions, f"{store_path}/decisions", cbid)
+    _overwrite_partition(clusters_out, f"{store_path}/clusters", cbid)
+    for sub in _STORE_SUBDIRS:
+        _delete_batch_partitions_below(spark, f"{store_path}/{sub}", cbid)
+    out = {
+        "compacted": True,
+        "batch": cbid,
+        "n_docs": int(n_docs),
+        "n_survivors": int(n_survivors),
+        "cc_rounds": stats.get("cc_rounds"),
+    }
+    if extra:
+        out.update(extra)
+    return out
+
+
 def recompact_fuzzy_store(
     spark: SparkSession,
     store_path: str,
@@ -351,14 +502,30 @@ def recompact_fuzzy_store(
     seen doc's text exists in dropped ∪ old-survivors regardless of
     where the process dies — overwriting ``survivors/`` first would
     leave a batch-``cbid`` survivor that compaction demotes to dup with
-    its text in NEITHER store. The entry-time coverage assertion (every
-    doc_id in ``decisions/`` must have a text) turns any residual
-    partial-state hole — including some batches having run
+    its text in NEITHER store. ``clusters/`` goes LAST (the commit
+    marker the incremental path keys on — see
+    :func:`_write_compacted_state`). The entry-time coverage assertion
+    (every doc_id in ``decisions/`` must have a text) turns any
+    residual partial-state hole — including some batches having run
     ``keep_dropped_texts=False`` — into a loud error instead of a doc
     silently vanishing from decisions. Use a transactional table format
     in production for atomic swap semantics.
 
-    Returns ``{"compacted", "batch", "n_docs", "n_survivors",
+    Round 9: compaction additionally persists the state that makes
+    :func:`recompact_fuzzy_store_incremental` possible — ``clusters/``
+    (doc_id -> component-min label for EVERY seen doc, singletons
+    included), ``allbuckets/`` (the LSH index rows of every seen doc —
+    not just survivors — with the per-(band,bucket) population in
+    ``n_bucket``), and ``meta/`` (one row with the algorithm parameters
+    so the incremental pass replays bit-compatible banding). The
+    candidate stage reuses that one banding pass (the former
+    implementation banded twice: once inside the pipeline, once for the
+    survivor index), so the extra stores cost no additional signature
+    work; semantics are unchanged vs :func:`fuzzy_dedup_pipeline` —
+    identical banding, ``bucket_cap`` filter, self-join, verify, and CC
+    stages over the same rows.
+
+    Returns ``{"compacted", "mode", "batch", "n_docs", "n_survivors",
     "cc_rounds"}``."""
     surv = _read_store(spark, f"{store_path}/survivors")
     dec = _read_store(spark, f"{store_path}/decisions")
@@ -370,107 +537,367 @@ def recompact_fuzzy_store(
         # processed empty micro-batches writes empty partitions) —
         # nothing to compact; int(None) would TypeError (r8 ADVICE)
         return {"compacted": False, "reason": "empty store"}
-
-    dropped_store = _read_store(spark, f"{store_path}/dropped")
-    if corpus is not None:
-        seen = dec.select("doc_id").distinct()
-        texts = corpus.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(text_col).alias("text"),
-        ).join(seen, "doc_id", "left_semi")
-    else:
-        texts = surv.select("doc_id", "text")
-        if dropped_store is not None:
-            texts = texts.unionByName(dropped_store.select("doc_id", "text"))
-        elif dec.filter(F.col("status") != "survivor").limit(1).count():
-            raise ValueError(
-                "recompact_fuzzy_store needs the dropped docs' texts to "
-                "restore chain-exact groups: pass `corpus` (replayable "
-                "stream archive) or run the stream with "
-                "keep_dropped_texts=True"
-            )
-    texts = texts.dropDuplicates(["doc_id"])
-    # every doc the stream ever decided on must have a text to feed the
-    # global re-run — a PARTIAL dropped store (some batches ran
-    # keep_dropped_texts=False, a crash ate a partition) or a corpus
-    # missing seen docs would otherwise make those docs silently vanish
-    # from the compacted decisions (r8 ADVICE medium). One bounded
-    # action over the seen corpus, same scale as the compaction itself.
-    n_missing = (
-        dec.select("doc_id")
-        .distinct()
-        .join(texts.select("doc_id"), "doc_id", "left_anti")
-        .count()
+    texts, dropped_store = _seen_texts(
+        spark, store_path, dec, corpus, text_col, id_col
     )
-    if n_missing:
-        raise ValueError(
-            f"recompact_fuzzy_store: {n_missing} seen doc(s) in the "
-            "decisions store have no text in "
-            + ("the supplied corpus" if corpus is not None
-               else "the survivors/dropped stores")
-            + " — refusing to silently drop them from the compacted "
-            "decisions (run every batch with keep_dropped_texts=True, "
-            "or pass the full replayable corpus)"
+
+    # One banding pass over the full seen corpus feeds BOTH candidate
+    # generation (identical to fuzzy_dedup_pipeline's stages: cap filter
+    # -> (band,bucket) self-join -> distinct pairs -> exact-Jaccard
+    # verify -> min-label CC) and the persisted all-docs index the
+    # incremental path probes. n_bucket is _cap_buckets' count-over-
+    # window on the join key itself — same shuffle key, no extra
+    # exchange.
+    banded_all = _banded(texts, k_shingle, n_hashes, bands, seed, signature)
+    allbuckets = banded_all.withColumn(
+        "n_bucket", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).persist()
+    allbuckets.count()  # materialize BEFORE the fan-out reads (AQE trap)
+    capped = (
+        allbuckets if bucket_cap is None
+        else allbuckets.filter(F.col("n_bucket") <= bucket_cap)
+    )
+    left, right = capped.alias("l"), capped.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    cand.count()  # materialize BEFORE the verify join's 3-way fan-out
+    verified = ngram_jaccard_pairs(
+        texts, cand, text_col="text", id_col="doc_id",
+        k_shingle=k_shingle, threshold=threshold,
+    )
     stats: dict = {}
-    clusters = fuzzy_dedup_pipeline(
-        texts,
-        text_col="text",
-        id_col="doc_id",
-        k_shingle=k_shingle,
-        threshold=threshold,
-        n_hashes=n_hashes,
-        bands=bands,
-        bucket_cap=bucket_cap,
-        signature=signature,
-        max_iter=max_iter,
-        stats=stats,
+    labels = connected_components(verified, max_iter=max_iter, stats=stats)
+    # connected_components eagerly checkpoints its edge set first,
+    # severing lineage from the candidate cache — safe to release after.
+    lab = labels.select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").alias("_root")
     )
-    dropped_now = clusters.filter(~F.col("is_survivor")).select("doc_id")
-    new_surv = texts.join(dropped_now, "doc_id", "left_anti")
-    banded = _banded(new_surv, k_shingle, n_hashes, bands, seed, signature)
-    decisions = texts.select("doc_id").join(
-        dropped_now.withColumn("_d", F.lit(True)), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.when(F.col("_d"), F.lit("dup_in_batch"))
-        .otherwise(F.lit("survivor"))
-        .alias("status"),
-        F.lit(None).cast("long").alias("matched"),
+    cluster_map = (
+        texts.select("doc_id")
+        .join(lab, "doc_id", "left")
+        .select("doc_id", F.coalesce("_root", "doc_id").alias("cluster_id"))
     )
-    dropped_texts = texts.join(dropped_now, "doc_id", "left_semi")
 
-    # sever lineage from the store partitions we are about to rewrite
-    new_surv = new_surv.localCheckpoint(eager=True)
-    banded = banded.localCheckpoint(eager=True)
-    decisions = decisions.localCheckpoint(eager=True)
-    dropped_texts = dropped_texts.localCheckpoint(eager=True)
-    n_docs = decisions.count()
-    n_survivors = new_surv.count()
+    meta_row = spark.createDataFrame(
+        [(k_shingle, float(threshold), n_hashes, bands,
+          None if bucket_cap is None else int(bucket_cap),
+          int(seed), signature)],
+        "k_shingle int, threshold double, n_hashes int, bands int, "
+        "bucket_cap bigint, seed bigint, signature string",
+    )
+    # dropped/ is skipped only when a replayable corpus is the archive
+    # AND the store never kept dropped texts; with corpus=None it is
+    # always written — compaction itself can demote docs (e.g. re-run
+    # with a lower threshold than the stream used), and their texts
+    # must stay recompactable.
+    out = _write_compacted_state(
+        spark, store_path, int(max_batch), texts, cluster_map,
+        allbuckets, meta_row,
+        write_dropped=(dropped_store is not None or corpus is None),
+        stats=stats, extra={"mode": "full"},
+    )
+    cand.unpersist()
+    allbuckets.unpersist()
+    texts.unpersist()
+    return out
 
+
+def recompact_fuzzy_store_incremental(
+    spark: SparkSession,
+    store_path: str,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> dict:
+    """Incremental re-resolution compaction: restore chain-exact
+    connected-component groups after new stream batches WITHOUT
+    re-running signatures/verify/CC over the whole seen corpus (the
+    r8-verdict scale note on :func:`recompact_fuzzy_store` — the full
+    re-run is a scheduled heavyweight job; this is the maintenance pass
+    between full runs).
+
+    Requires a prior :func:`recompact_fuzzy_store` (which persists the
+    ``clusters/`` map, the all-docs ``allbuckets/`` LSH index, and the
+    ``meta/`` parameter row this pass replays). Algorithm parameters are
+    READ FROM ``meta/`` — not accepted here — so the incremental banding
+    is bit-compatible with the stored index by construction.
+
+    Algorithm (cluster contraction): only components containing a doc
+    from a batch newer than the last compaction can change, so
+    - band ONLY the delta docs (``O(Δ)`` signature work),
+    - candidate pairs = delta self-join ∪ delta ⋈ ``allbuckets/`` on
+      (band, bucket) — the stored index covers every old doc,
+      INCLUDING dropped ones, which is what lets a new doc heal a chain
+      through an old dropped doc,
+    - exact-Jaccard verify only those pairs (``O(Δ·dup-rate)``),
+    - contract each old component to its stored min-label and run CC on
+      the tiny contracted graph (an edge to old doc *d* becomes an edge
+      to ``cluster(d)``; a new doc bridging two old components merges
+      them, exactly as the global run would),
+    - expand: component-min relabel of member clusters' docs; untouched
+      clusters keep their labels verbatim.
+    The rewrite of the store partitions is still ``O(corpus)`` I/O —
+    it is a compaction — but the compute is proportional to the delta,
+    not the corpus (bench: ``fuzzy_recompact_incr`` vs
+    ``fuzzy_recompact``).
+
+    Parity contract (pinned by tests): the compacted state is
+    byte-identical to :func:`recompact_fuzzy_store` over the same seen
+    corpus whenever ``bucket_cap`` does not bind on a bucket containing
+    a delta doc. Pinned divergence when it does: the global re-run
+    drops ALL pairs of an over-cap bucket — including old-old edges it
+    previously honored — while the incremental pass never retracts
+    edges already folded into ``clusters/`` (monotone: known duplicate
+    groups are not forgotten because boilerplate later flooded their
+    bucket). New-pair generation applies the cap on the COMBINED
+    (old + delta) bucket population, matching the global rule for every
+    pair this pass is responsible for.
+
+    Crash safety: same write order as the full path (dropped first,
+    ``clusters/`` last as the commit marker — see
+    :func:`_write_compacted_state`); a crash before the marker makes
+    the next run redo the whole incremental pass idempotently (the
+    stream's partitions above the last marker are untouched until the
+    final deletes).
+
+    Returns ``{"compacted", "mode", "batch", "n_docs", "n_survivors",
+    "n_new", "n_candidate_pairs", "cc_rounds"}``."""
+    surv = _read_store(spark, f"{store_path}/survivors")
+    dec = _read_store(spark, f"{store_path}/decisions")
+    if surv is None or dec is None:
+        return {"compacted": False, "reason": "empty store"}
+    max_batch = dec.agg(F.max("batch")).first()[0]
+    if max_batch is None:
+        return {"compacted": False, "reason": "empty store"}
+    clus = _read_store(spark, f"{store_path}/clusters")
+    meta_df = _read_store(spark, f"{store_path}/meta")
+    allb = _read_store(spark, f"{store_path}/allbuckets")
+    if clus is None or meta_df is None or allb is None:
+        raise ValueError(
+            "recompact_fuzzy_store_incremental needs the cluster map / "
+            "all-docs LSH index / parameter row a prior full "
+            "recompact_fuzzy_store persists — run the full compaction "
+            "once first"
+        )
+    c_last = int(clus.agg(F.max("batch")).first()[0])
     cbid = int(max_batch)
-    # dropped/ FIRST (see docstring crash-safety): after this write,
-    # dropped@cbid ∪ survivors(old, all partitions) covers every seen
-    # doc's text through every later crash window. Skipped only when a
-    # replayable corpus is the archive AND the store never kept dropped
-    # texts; with corpus=None it is always written — compaction itself
-    # can demote docs (e.g. re-run with a lower threshold than the
-    # stream used), and their texts must stay recompactable.
-    if dropped_store is not None or corpus is None:
-        _overwrite_partition(dropped_texts, f"{store_path}/dropped", cbid)
-    _overwrite_partition(new_surv, f"{store_path}/survivors", cbid)
-    _overwrite_partition(banded, f"{store_path}/buckets", cbid)
-    _overwrite_partition(decisions, f"{store_path}/decisions", cbid)
-    for sub in ("survivors", "buckets", "decisions", "dropped"):
-        _delete_batch_partitions_below(spark, f"{store_path}/{sub}", cbid)
-    return {
-        "compacted": True,
-        "batch": cbid,
-        "n_docs": int(n_docs),
-        "n_survivors": int(n_survivors),
-        "cc_rounds": stats.get("cc_rounds"),
-    }
+    if cbid <= c_last:
+        # nothing arrived since the last compaction. Still finish any
+        # interrupted cleanup: the commit marker is written before the
+        # stale-partition deletes, so a crash between them leaves
+        # duplicate doc rows in decisions/ until these deletes land.
+        for sub in _STORE_SUBDIRS:
+            _delete_batch_partitions_below(spark, f"{store_path}/{sub}", c_last)
+        return {
+            "compacted": False,
+            "reason": "nothing new since last compaction",
+            "batch": c_last,
+        }
+    meta = meta_df.filter(F.col("batch") == c_last).drop("batch").first()
+    k_shingle = int(meta["k_shingle"])
+    threshold = float(meta["threshold"])
+    n_hashes = int(meta["n_hashes"])
+    bands = int(meta["bands"])
+    bucket_cap = None if meta["bucket_cap"] is None else int(meta["bucket_cap"])
+    seed = int(meta["seed"])
+    signature = str(meta["signature"])
+
+    texts, dropped_store = _seen_texts(
+        spark, store_path, dec, corpus, text_col, id_col
+    )
+    old_clusters = clus.filter(F.col("batch") == c_last).select(
+        "doc_id", "cluster_id"
+    )
+    # the corpus-sized index is read 3x (bucket populations, old-side
+    # candidate rows, the updated-index rewrite) — cache the one store
+    # scan. Every consumer probes it against a broadcast (never
+    # broadcast-builds it), so the cache is populated lazily by the
+    # first action without the AQE fan-out trap; caller unpersists via
+    # the cleanup block at the end.
+    allb = (
+        allb.filter(F.col("batch") == c_last)
+        .select("doc_id", "band", "bucket", "n_bucket")
+        .persist()
+    )
+    new_ids = (
+        dec.filter(F.col("batch") > c_last)
+        .select("doc_id")
+        .distinct()
+        .join(old_clusters.select("doc_id"), "doc_id", "left_anti")
+    )
+    n_new = new_ids.count()
+    if n_new == 0:
+        for sub in _STORE_SUBDIRS:
+            _delete_batch_partitions_below(spark, f"{store_path}/{sub}", c_last)
+        return {
+            "compacted": False,
+            "reason": "nothing new since last compaction",
+            "batch": c_last,
+        }
+    new_texts = texts.join(new_ids, "doc_id", "left_semi")
+    banded_new = _banded(
+        new_texts, k_shingle, n_hashes, bands, seed, signature
+    ).persist()
+    banded_new.count()  # materialize: read by counts, pairs, index union
+
+    # combined per-bucket populations for buckets touched by the delta:
+    # delta-side counts are tiny; the old side comes off the stored
+    # n_bucket column via a broadcast semi-join — the corpus-sized index
+    # is never shuffled, only map-side filtered.
+    new_counts = banded_new.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n_new")
+    )
+    old_bc = (
+        allb.join(
+            F.broadcast(new_counts.select("band", "bucket")),
+            ["band", "bucket"], "left_semi",
+        )
+        .select("band", "bucket", "n_bucket")
+        .distinct()
+    )
+    bucket_tot = new_counts.join(old_bc, ["band", "bucket"], "left").select(
+        "band", "bucket",
+        (F.col("_n_new") + F.coalesce(F.col("n_bucket"), F.lit(0))).alias(
+            "n_tot"
+        ),
+    )
+    ok = (
+        bucket_tot if bucket_cap is None
+        else bucket_tot.filter(F.col("n_tot") <= bucket_cap)
+    )
+    ok_keys = ok.select("band", "bucket").persist()
+    ok_keys.count()  # materialize: broadcast 3x below
+    bnew_ok = banded_new.join(F.broadcast(ok_keys), ["band", "bucket"], "left_semi")
+    old_ok = allb.join(F.broadcast(ok_keys), ["band", "bucket"], "left_semi")
+    ln, rn = bnew_ok.alias("l"), bnew_ok.alias("r")
+    nn_pairs = (
+        ln.join(
+            rn,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    )
+    no_pairs = (
+        bnew_ok.alias("n")
+        .join(old_ok.alias("o"), ["band", "bucket"])
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_b"),
+        )
+    )
+    cand = nn_pairs.unionByName(no_pairs).distinct().persist()
+    n_cand = cand.count()  # materialize BEFORE the verify fan-out
+    # materialize the verified edge set ONCE: it fans out into vids and
+    # the contracted plan's TWO broadcast builds below, and each lazy
+    # re-evaluation would re-run the shingle joins (measured 12.6 s CC
+    # vs 3.0 s for the full path's, which checkpoints its edges first)
+    verified = ngram_jaccard_pairs(
+        texts, cand, text_col="text", id_col="doc_id",
+        k_shingle=k_shingle, threshold=threshold,
+    ).localCheckpoint(eager=True)
+
+    # cluster contraction: rewrite each OLD endpoint to its stored
+    # component label (new docs keep their own ids — id spaces are
+    # disjoint by construction of new_ids), then CC the tiny graph.
+    vids = (
+        verified.select(F.col("id_a").alias("doc_id"))
+        .unionByName(verified.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    oc_small = old_clusters.join(F.broadcast(vids), "doc_id", "left_semi")
+    contracted = (
+        verified.select("id_a", "id_b")
+        .join(
+            F.broadcast(
+                oc_small.select(
+                    F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_ca")
+                )
+            ),
+            "id_a", "left",
+        )
+        .join(
+            F.broadcast(
+                oc_small.select(
+                    F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_cb")
+                )
+            ),
+            "id_b", "left",
+        )
+        .select(
+            F.coalesce("_ca", F.col("id_a")).alias("id_a"),
+            F.coalesce("_cb", F.col("id_b")).alias("id_b"),
+        )
+    )
+    stats: dict = {}
+    labels = connected_components(contracted, max_iter=max_iter, stats=stats)
+    lab = labels.select(
+        F.col("node").alias("_n"), F.col("cluster_id").alias("_root")
+    )
+    # expand: docs of a relabeled old component follow their label; the
+    # corpus-sized maps are only ever broadcast-joined (lab is tiny).
+    final_old = (
+        old_clusters.join(
+            F.broadcast(lab), old_clusters["cluster_id"] == F.col("_n"), "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_root", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    final_new = (
+        new_ids.join(F.broadcast(lab), new_ids["doc_id"] == F.col("_n"), "left")
+        .select(
+            "doc_id", F.coalesce("_root", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    cluster_map = final_old.unionByName(final_new)
+
+    # updated all-docs index: old rows keep their banding, counts bumped
+    # by the delta; delta rows carry the combined population. The row
+    # set equals what the full path would band from scratch.
+    allb_updated = allb.join(
+        F.broadcast(new_counts), ["band", "bucket"], "left"
+    ).select(
+        "doc_id", "band", "bucket",
+        (F.col("n_bucket") + F.coalesce(F.col("_n_new"), F.lit(0))).alias(
+            "n_bucket"
+        ),
+    )
+    bnew_rows = banded_new.join(
+        F.broadcast(bucket_tot), ["band", "bucket"]
+    ).select("doc_id", "band", "bucket", F.col("n_tot").alias("n_bucket"))
+    allbuckets_out = allb_updated.unionByName(bnew_rows)
+
+    meta_row = meta_df.filter(F.col("batch") == c_last).drop("batch")
+    out = _write_compacted_state(
+        spark, store_path, cbid, texts, cluster_map,
+        allbuckets_out, meta_row,
+        write_dropped=(dropped_store is not None or corpus is None),
+        stats=stats,
+        extra={
+            "mode": "incremental",
+            "n_new": int(n_new),
+            "n_candidate_pairs": int(n_cand),
+        },
+    )
+    cand.unpersist()
+    ok_keys.unpersist()
+    banded_new.unpersist()
+    allb.unpersist()
+    texts.unpersist()
+    return out
 
 
 def read_decisions(spark: SparkSession, store_path: str) -> DataFrame:

@@ -364,3 +364,240 @@ def test_recompact_from_replayable_corpus(spark, tmp_path):
     assert dec[1][0] == "survivor"
     assert dec[2][0] == "dup_in_batch" and dec[3][0] == "dup_in_batch"
     assert 99 not in dec  # corpus docs the stream never saw stay out
+
+
+# ---- round 9: incremental re-resolution compaction ----------------------
+
+
+def _store_state(spark, store: str) -> dict:
+    """Comparable snapshot of the compacted state: decisions, cluster
+    map, survivor texts, and the all-docs index rows (batch column
+    dropped — the two stores under comparison compact at different
+    batch ids)."""
+    def rows(sub, cols):
+        df = spark.read.option("basePath", f"{store}/{sub}").parquet(
+            f"{store}/{sub}"
+        )
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    return {
+        "decisions": rows("decisions", ["doc_id", "status", "matched"]),
+        "clusters": rows("clusters", ["doc_id", "cluster_id"]),
+        "survivors": rows("survivors", ["doc_id", "text"]),
+        "allbuckets": rows("allbuckets", ["doc_id", "band", "bucket", "n_bucket"]),
+    }
+
+
+def test_incremental_recompact_heals_chain_and_matches_full(spark, tmp_path):
+    """Quarter-chain A|B streamed, FULL-compacted (persisting the
+    cluster map + all-docs index), then C arrives: the stream keeps C
+    (pinned chain break — its only link B is dropped and absent from
+    the survivor index), but the INCREMENTAL compaction finds the C~B
+    edge through the all-docs index, contracts B to A's cluster, and
+    lands the same state a single global batch run produces."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+        recompact_fuzzy_store_incremental,
+    )
+
+    a, b, c = _quarter_chain()
+    params = dict(threshold=0.5, n_hashes=30, bands=15)
+    inc = str(tmp_path / "inc")
+    for bid, (doc, txt) in enumerate(((1, a), (2, b))):
+        df = spark.createDataFrame([(doc, txt)], "doc_id long, text string")
+        process_fuzzy_batch(
+            df, inc, batch_id=bid, keep_dropped_texts=True, **params
+        )
+    res0 = recompact_fuzzy_store(spark, inc, **params)
+    assert res0["compacted"] and res0["mode"] == "full"
+
+    df2 = spark.createDataFrame([(3, c)], "doc_id long, text string")
+    process_fuzzy_batch(df2, inc, batch_id=2, keep_dropped_texts=True, **params)
+    assert _decisions(spark, inc)[3][0] == "survivor"  # chain break live
+
+    res = recompact_fuzzy_store_incremental(spark, inc)
+    assert res["compacted"] and res["mode"] == "incremental"
+    assert res["batch"] == 2 and res["n_new"] == 1
+    assert res["n_docs"] == 3 and res["n_survivors"] == 1
+
+    glob = str(tmp_path / "glob")
+    gdf = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    process_fuzzy_batch(gdf, glob, batch_id=0, **params)
+    assert _decisions(spark, inc) == _decisions(spark, glob)
+
+
+def test_incremental_matches_full_recompact_multibatch(spark, tmp_path):
+    """Hard parity over 4 batches with a cluster MERGE: two stores see
+    identical batches; store A full-compacts after batch 1 then runs the
+    incremental pass twice (chained — the second rides the first's
+    index), store B full-compacts once at the end. Batch 2's doc
+    bridges the two previously-separate clusters, so the contracted CC
+    must merge old components. Decisions, cluster map, survivor texts,
+    AND the all-docs index (incl. the incrementally-maintained
+    n_bucket populations) are compared row-for-row."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+        recompact_fuzzy_store_incremental,
+    )
+
+    base = (G1 + " ") * 4
+    tail = (G2 + " ") * 4
+    t100 = base + tail[: len(tail) // 8]
+    t200 = base[: len(base) // 8] + tail
+    bridge = base[: len(base) // 2] + tail[len(tail) // 2 :]
+    thr = 0.45
+    # fixture premises: the bridge matches BOTH cluster seeds, which do
+    # not match each other; the batch-3 straggler matches only t200
+    assert _jac(t100, t200) < thr
+    assert _jac(bridge, t100) >= thr and _jac(bridge, t200) >= thr
+    assert _jac(t200 + "!!", t200) >= thr and _jac(t200 + "!!", t100) < thr
+    batches = [
+        [(100, t100), (101, t100 + " x"), (400, LONE)],
+        [(200, t200), (201, t200 + " y")],
+        [(300, bridge)],
+        [(202, t200 + "!!"), (500, LONE[::-1])],
+    ]
+    params = dict(threshold=thr, n_hashes=30, bands=15)
+
+    sa, sb = str(tmp_path / "a"), str(tmp_path / "b")
+    for store in (sa, sb):
+        for bid, rows in enumerate(batches):
+            if store == sa and bid == 2:
+                assert recompact_fuzzy_store(spark, store, **params)["compacted"]
+            if store == sa and bid == 3:
+                r = recompact_fuzzy_store_incremental(spark, store)
+                assert r["compacted"] and r["mode"] == "incremental"
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            process_fuzzy_batch(
+                df, store, batch_id=bid, keep_dropped_texts=True, **params
+            )
+    ra = recompact_fuzzy_store_incremental(spark, sa)
+    rb = recompact_fuzzy_store(spark, sb, **params)
+    assert ra["compacted"] and ra["mode"] == "incremental"
+    assert rb["compacted"] and rb["mode"] == "full"
+    assert ra["n_docs"] == rb["n_docs"] == 8
+    assert ra["n_survivors"] == rb["n_survivors"]
+    assert _store_state(spark, sa) == _store_state(spark, sb)
+    # the merge actually happened: one component holds both seeds + the
+    # bridge + the straggler, labeled by the global min doc id
+    clus = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.option("basePath", f"{sa}/clusters")
+        .parquet(f"{sa}/clusters").collect()
+    }
+    assert (
+        clus[100] == clus[200] == clus[300] == clus[202] == 100
+    )
+
+
+def test_incremental_requires_prior_full_compaction(spark, tmp_path):
+    """A store that has only ever streamed (no cluster map / all-docs
+    index / meta row) raises a descriptive error instead of guessing."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store_incremental,
+    )
+
+    inc = str(tmp_path / "inc")
+    df = spark.createDataFrame([(1, G1)], "doc_id long, text string")
+    process_fuzzy_batch(df, inc, batch_id=0, keep_dropped_texts=True)
+    with pytest.raises(ValueError, match="full recompact"):
+        recompact_fuzzy_store_incremental(spark, inc)
+
+
+def test_incremental_nothing_new_is_a_noop(spark, tmp_path):
+    """Immediately after a compaction the incremental pass reports
+    nothing to do (and an empty store reports empty) — no partitions
+    are rewritten."""
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+        recompact_fuzzy_store_incremental,
+    )
+
+    inc = str(tmp_path / "inc")
+    assert recompact_fuzzy_store_incremental(spark, inc) == {
+        "compacted": False, "reason": "empty store",
+    }
+    df = spark.createDataFrame([(1, G1), (2, G2)], "doc_id long, text string")
+    process_fuzzy_batch(df, inc, batch_id=0, keep_dropped_texts=True)
+    recompact_fuzzy_store(spark, inc)
+    res = recompact_fuzzy_store_incremental(spark, inc)
+    assert res == {
+        "compacted": False,
+        "reason": "nothing new since last compaction",
+        "batch": 0,
+    }
+
+
+def test_incremental_cap_divergence_monotone(spark, tmp_path):
+    """Pinned divergence under a binding bucket_cap: three IDENTICAL
+    texts (identical signatures → identical buckets). Old state {A,B}
+    fills each bucket to exactly cap=2 → edge honored, one cluster.
+    X's arrival lifts every shared bucket to 3 > cap: the GLOBAL re-run
+    drops ALL pairs (A,B,X all survive — it forgets the A~B duplicate
+    it had already found), while the incremental pass is MONOTONE: it
+    generates no new pairs (combined cap, matching the global rule for
+    new edges) but never retracts the folded-in A~B group."""
+    import shutil
+
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        recompact_fuzzy_store,
+        recompact_fuzzy_store_incremental,
+    )
+
+    params = dict(threshold=0.5, n_hashes=30, bands=15, bucket_cap=2)
+    inc = str(tmp_path / "inc")
+    df = spark.createDataFrame([(1, G1), (2, G1)], "doc_id long, text string")
+    process_fuzzy_batch(df, inc, batch_id=0, keep_dropped_texts=True, **params)
+    recompact_fuzzy_store(spark, inc, **params)
+    df2 = spark.createDataFrame([(3, G1)], "doc_id long, text string")
+    process_fuzzy_batch(df2, inc, batch_id=1, keep_dropped_texts=True, **params)
+
+    full = str(tmp_path / "full")
+    shutil.copytree(inc, full)
+
+    ri = recompact_fuzzy_store_incremental(spark, inc)
+    assert ri["compacted"] and ri["n_candidate_pairs"] == 0
+    di = _decisions(spark, inc)
+    assert di[1][0] == "survivor" and di[2][0] == "dup_in_batch"
+    assert di[3][0] == "survivor"  # new doc correctly capped out
+
+    rf = recompact_fuzzy_store(spark, full, **params)
+    assert rf["compacted"]
+    dfu = _decisions(spark, full)
+    assert {s for s, _ in dfu.values()} == {"survivor"}  # global forgot A~B
+
+
+def test_incremental_write_order_and_commit_marker(spark, tmp_path, monkeypatch):
+    """Crash-safety contract of the incremental pass: dropped/ is
+    written FIRST (text preservation — r8 ADVICE) and clusters/ LAST
+    (the commit marker the next incremental keys on: a crash anywhere
+    earlier makes the re-run redo the whole pass idempotently)."""
+    import sys as _sys
+
+    mod = _sys.modules["tersets_spark.streaming.fuzzy_dedup_stream"]
+
+    a, b, c = _quarter_chain()
+    params = dict(threshold=0.5, n_hashes=30, bands=15)
+    inc = str(tmp_path / "inc")
+    for bid, (doc, txt) in enumerate(((1, a), (2, b))):
+        df = spark.createDataFrame([(doc, txt)], "doc_id long, text string")
+        process_fuzzy_batch(
+            df, inc, batch_id=bid, keep_dropped_texts=True, **params
+        )
+    mod.recompact_fuzzy_store(spark, inc, **params)
+    df2 = spark.createDataFrame([(3, c)], "doc_id long, text string")
+    process_fuzzy_batch(df2, inc, batch_id=2, keep_dropped_texts=True, **params)
+
+    order: list[str] = []
+    real = mod._overwrite_partition
+
+    def spy(df, root, bid):
+        order.append(root.rsplit("/", 1)[-1])
+        real(df, root, bid)
+
+    monkeypatch.setattr(mod, "_overwrite_partition", spy)
+    res = mod.recompact_fuzzy_store_incremental(spark, inc)
+    assert res["compacted"]
+    assert order[0] == "dropped" and order[-1] == "clusters"
