@@ -75,20 +75,28 @@ def _emit(out: dict, out_dir: "str | None" = None) -> None:
     (tests; official runs keep the repo-root default)."""
     for key in ("metric", "value", "unit", "sf"):
         assert key in out, f"bench artifact missing required key {key!r}"
-    repo = (
-        out_dir
-        or os.environ.get("SPARK_GRAFT_BENCH_OUT")
-        or os.path.dirname(os.path.abspath(__file__))
-    )
-    with open(os.path.join(repo, "BENCH_LAST.json"), "w") as f:
-        json.dump(out, f)
-        f.write("\n")
+    # print FIRST: the stdout line and the file are redundant carriers
+    # by design, so a bad output path must never eat the measurements a
+    # run already paid for (a misconfigured SPARK_GRAFT_BENCH_OUT once
+    # lost a full 13-minute run at this exact write).
     line = json.dumps(out)
     if len(line) > _LINE_BUDGET:
         slim = dict(out)
         slim["detail"] = "clipped for capture: full detail in BENCH_LAST.json"
         line = json.dumps(slim)
-    print(line)
+    print(line, flush=True)
+    repo = (
+        out_dir
+        or os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        or os.path.dirname(os.path.abspath(__file__))
+    )
+    path = (
+        repo if os.path.basename(repo) == "BENCH_LAST.json"
+        else os.path.join(repo, "BENCH_LAST.json")
+    )
+    with open(path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
 
 
 def _wait_for_calm_host(max_wait_s: int) -> "tuple[float, float]":

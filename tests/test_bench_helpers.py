@@ -90,6 +90,29 @@ def test_emit_oversized_detail_never_clips_headline(tmp_path, capsys):
     assert on_disk["detail"]["prose"] == out["detail"]["prose"]
 
 
+def test_emit_prints_line_before_file_write(tmp_path, capsys):
+    """A bad output path must never eat a finished run's measurements:
+    the stdout line is printed BEFORE the file write (a misconfigured
+    SPARK_GRAFT_BENCH_OUT once lost a 13-minute run at that write), and
+    a path that already names BENCH_LAST.json is accepted as the file
+    itself instead of being treated as a directory."""
+    import json
+
+    import pytest
+
+    out = _sample_artifact()
+    with pytest.raises(OSError):
+        bench._emit(out, out_dir=str(tmp_path / "missing_dir"))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["value"] == out["value"]  # line survived
+
+    as_file = tmp_path / "BENCH_LAST.json"
+    bench._emit(out, out_dir=str(as_file))
+    capsys.readouterr()
+    assert json.loads(as_file.read_text()) == out
+    assert not (tmp_path / "BENCH_LAST.json" / "BENCH_LAST.json").exists()
+
+
 def test_emit_rejects_artifact_missing_headline_keys(tmp_path):
     import pytest
 
