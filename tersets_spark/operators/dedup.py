@@ -301,9 +301,19 @@ def ngram_jaccard_pairs(
     )
     a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")
     b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")
+    # the shingle sides must NEVER be statically broadcast: Catalyst's
+    # size estimate for the `transform(sequence(...))` shingle column
+    # sees a narrow projection and picks a broadcast build, but the
+    # materialized rows carry the full O(len(text)) array — at a 50k-doc
+    # near-dup-heavy corpus (92k candidate pairs) the build OOM'd an
+    # 8 GiB single-JVM harness; the same plan completes with the join
+    # pinned to sort-merge (streams + spills, no driver-side build).
+    # The hint costs two small extra shuffles when the verify set is
+    # genuinely tiny — bounded and safe at every scale, unlike the
+    # estimate-driven broadcast.
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         # safe prune before the set ops: jaccard >= t requires the
         # smaller set to be at least t of the larger (|A∩B| <= min,
         # |A∪B| >= max)

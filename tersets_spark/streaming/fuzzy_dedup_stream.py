@@ -114,12 +114,6 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
         return None  # store empty: first batch (or no partition yet)
 
 
-def _overwrite_partition(df: DataFrame, root: str, batch_id: int) -> None:
-    # Deterministic per-batch partition path: a foreachBatch replay of
-    # the same batch_id overwrites its own output (idempotence).
-    df.write.mode("overwrite").parquet(f"{root}/batch={int(batch_id)}")
-
-
 def process_fuzzy_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -169,8 +163,24 @@ def process_fuzzy_batch(
         bucket_cap=bucket_cap,
         signature=signature,
     )
-    dropped_in_batch = clusters.filter(~F.col("is_survivor")).select("doc_id")
-    batch_survivors = docs.join(dropped_in_batch, "doc_id", "left_anti")
+    # Stage the two HEAVY sub-plan results once each (.tmp_batch-N is
+    # dot-hidden like the staged partitions; swept after promote and by
+    # the next compaction). Without this, every staged output below
+    # re-executed the in-batch resolution and the cross-batch verify —
+    # 2× the batch's compute, and 2× its peak memory footprint (the
+    # 50k-doc replica probe OOM'd during the SECOND concurrent
+    # execution of the verify plan).
+    tmp_root = f"{store_path}/.tmp_batch-{int(batch_id)}"
+    dropped_in_batch = _stage_df(
+        spark,
+        clusters.filter(~F.col("is_survivor")).select("doc_id"),
+        f"{tmp_root}/dropped_in_batch",
+    )
+    batch_survivors = _stage_df(
+        spark,
+        docs.join(dropped_in_batch, "doc_id", "left_anti"),
+        f"{tmp_root}/batch_survivors",
+    )
 
     # 2) cross-batch: batch survivors' band buckets vs the store index.
     banded = _banded(
@@ -220,9 +230,15 @@ def process_fuzzy_batch(
             texts, cand, text_col="text", id_col="doc_id",
             k_shingle=k_shingle, threshold=threshold,
         )
-        # keep the earliest verified survivor as the recorded match
-        matched = verified.groupBy(F.col("id_b").alias("doc_id")).agg(
-            F.min("id_a").alias("matched")
+        # keep the earliest verified survivor as the recorded match;
+        # staged once — the verify join above is the batch's most
+        # expensive plan and feeds three outputs below
+        matched = _stage_df(
+            spark,
+            verified.groupBy(F.col("id_b").alias("doc_id")).agg(
+                F.min("id_a").alias("matched")
+            ),
+            f"{tmp_root}/matched",
         )
 
     if matched is not None:
@@ -248,35 +264,49 @@ def process_fuzzy_batch(
         )
     )
 
-    # 3) idempotent partitioned writes. Everything derived from a store
-    #    READ must be materialized with its lineage SEVERED before the
-    #    first overwrite: a foreachBatch replay of batch_id reads
-    #    buckets/survivors partitions that the overwrite below deletes,
-    #    and a lazy (or cache-evicted) plan would re-scan the deleted
-    #    files mid-write. localCheckpoint(eager) cuts the parquet
-    #    lineage entirely (persist alone only caches, it does not cut —
-    #    the CC operator learned the same lesson). In production swap
-    #    the store for a transactional table (Delta/Iceberg snapshot
-    #    isolation) and this ordering concern disappears.
-    new_survivors = new_survivors.localCheckpoint(eager=True)
-    decisions = decisions.localCheckpoint(eager=True)
-    _overwrite_partition(new_survivors, f"{store_path}/survivors", batch_id)
-    # survivors first, index second: a crash between the two leaves a
-    # survivor invisible to LSH lookup (a missed dedup, self-healing on
-    # replay) rather than an index row pointing at a missing text.
-    _overwrite_partition(
+    # 3) idempotent partitioned writes, stage-then-rename (r9 — same
+    #    design as the compaction paths, see :func:`_stage_partition`).
+    #    Everything derived from a store READ must have its parquet
+    #    lineage SEVERED before any visible partition is replaced: a
+    #    foreachBatch replay of batch_id reads buckets/survivors
+    #    partitions that the promote below deletes, and a lazy (or
+    #    cache-evicted) plan would re-scan the deleted files mid-write.
+    #    Staging writes each output exactly once to a hidden dir and
+    #    re-reads it — the same sever the former eager localCheckpoint
+    #    gave, without pinning batch-sized text blocks in the block
+    #    manager (in local mode that is DRIVER heap; a 50k-doc replica
+    #    run OOM'd on exactly that residency after a few batches). In
+    #    production swap the store for a transactional table
+    #    (Delta/Iceberg snapshot isolation) and the ordering concern
+    #    disappears.
+    new_survivors = _stage_partition(
+        spark, new_survivors, f"{store_path}/survivors", batch_id
+    )
+    _stage_partition(
+        spark,
         banded.join(new_survivors.select("doc_id"), "doc_id", "left_semi"),
         f"{store_path}/buckets",
         batch_id,
     )
-    _overwrite_partition(decisions, f"{store_path}/decisions", batch_id)
+    _stage_partition(spark, decisions, f"{store_path}/decisions", batch_id)
     if keep_dropped_texts:
-        dropped_texts = (
-            docs.join(new_survivors.select("doc_id"), "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
+        _stage_partition(
+            spark,
+            docs.join(new_survivors.select("doc_id"), "doc_id", "left_anti"),
+            f"{store_path}/dropped",
+            batch_id,
         )
-        _overwrite_partition(dropped_texts, f"{store_path}/dropped", batch_id)
     banded.unpersist()
+    # promote: survivors first, index second — a crash between the two
+    # leaves a survivor invisible to LSH lookup (a missed dedup,
+    # self-healing on replay) rather than an index row pointing at a
+    # missing text.
+    _promote_staged(spark, f"{store_path}/survivors", batch_id)
+    _promote_staged(spark, f"{store_path}/buckets", batch_id)
+    _promote_staged(spark, f"{store_path}/decisions", batch_id)
+    if keep_dropped_texts:
+        _promote_staged(spark, f"{store_path}/dropped", batch_id)
+    _delete_dir(spark, tmp_root)
 
 
 def fuzzy_dedup_stream(stream: DataFrame, store_path: str, **params):
@@ -311,6 +341,100 @@ _STORE_SUBDIRS = (
     "survivors", "buckets", "decisions", "dropped",
     "allbuckets", "meta", "clusters",
 )
+
+
+def _stage_partition(
+    spark: SparkSession, df: DataFrame, root: str, batch_id: int
+) -> DataFrame:
+    """Write ``df`` once to a dot-prefixed staging dir under ``root``
+    (hidden from Spark's file index, so :func:`_read_store` never sees
+    it) and return a re-read whose lineage is the staged files.
+
+    Naming: the dir must be DOT-prefixed specifically — Spark's
+    hidden-path rule exempts ``_``-prefixed names containing ``=``
+    (an ``_staged_batch=2`` dir is parsed as a partition column and
+    breaks the store's ``batch=N`` discovery with
+    CONFLICTING_PARTITION_COLUMN_NAMES; pinned by the crash test).
+    Spark logs a benign ``All paths were ignored`` warning when the
+    explicitly-passed hidden path resolves for the read-back; the read
+    still returns the staged rows (also pinned).
+
+    This is the disk-backed replacement for the compaction paths'
+    former ``localCheckpoint(eager=True)``: it severs lineage from the
+    store partitions about to be rewritten without pinning a
+    corpus-sized dataset in block-manager memory (a 50k-doc replica
+    probe OOM'd an 8 GiB local-mode driver heap on exactly that), and
+    without localCheckpoint's non-reliable-checkpoint failure mode on a
+    real cluster (an executor lost after the checkpoint makes its
+    blocks unrecoverable mid-job; staged parquet on the store's own
+    filesystem survives any worker loss). Promotion into ``batch=N``
+    is a filesystem rename (:func:`_promote_staged`) — the data is
+    written exactly once, same total I/O as the direct overwrite."""
+    return _stage_df(spark, df, f"{root}/.staged_batch-{int(batch_id)}")
+
+
+def _stage_df(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Materialize ``df`` exactly once to ``path`` (parquet, overwrite)
+    and return a re-read whose lineage is the written files. The
+    disk-backed equivalent of ``localCheckpoint(eager=True)`` for plans
+    that feed several downstream outputs: each consumer re-reads cheap
+    parquet instead of re-executing the producing sub-plan (the batch
+    path's in-batch resolution and cross-batch verify are exactly such
+    producers — without this they executed once per staged output)."""
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _promote_staged(spark: SparkSession, root: str, batch_id: int) -> None:
+    """Move ``.staged_batch-N`` into place as ``batch=N``: delete the
+    old partition, rename the staged dir. Two metadata ops — the
+    destructive window per output shrinks from a full rewrite job to a
+    rename (on object stores rename is a copy; production should use a
+    transactional table format for true atomic swap, as documented on
+    :func:`recompact_fuzzy_store`)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(
+        f"{root}/.staged_batch-{int(batch_id)}"
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(f"{root}/batch={int(batch_id)}")
+    fs = src.getFileSystem(hconf)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"recompaction promote failed: rename {src} -> {dst}"
+        )
+
+
+def _delete_staged_dirs(spark: SparkSession, store_path: str) -> None:
+    """Drop leftover ``.staged_batch-*`` dirs from a compaction that
+    crashed mid-stage, and ``.tmp_batch-*`` intermediates from a batch
+    that crashed mid-write (both invisible to readers, but they hold
+    disk)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for sub, prefix in [(s, ".staged_batch-") for s in _STORE_SUBDIRS] + [
+        ("", ".tmp_batch-")
+    ]:
+        hroot = jvm.org.apache.hadoop.fs.Path(
+            f"{store_path}/{sub}" if sub else store_path
+        )
+        fs = hroot.getFileSystem(hconf)
+        if not fs.exists(hroot):
+            continue
+        for st in fs.listStatus(hroot):
+            if st.getPath().getName().startswith(prefix):
+                fs.delete(st.getPath(), True)
 
 
 def _seen_texts(
@@ -392,25 +516,37 @@ def _write_compacted_state(
     extra: dict | None = None,
 ) -> dict:
     """Derive decisions/survivors/dropped from the final ``cluster_map``
-    (doc_id, cluster_id; survivor iff doc_id == cluster_id), checkpoint
-    everything read from store partitions about to be rewritten, and
-    commit the compacted state. Shared by the full and incremental
-    recompaction paths.
+    (doc_id, cluster_id; survivor iff doc_id == cluster_id), stage
+    every compacted output to disk, and commit the compacted state by
+    renaming the staged dirs into place. Shared by the full and
+    incremental recompaction paths.
 
-    Crash-safe write order: ``dropped/`` FIRST (after it lands, every
-    seen doc's text exists in dropped ∪ old-survivors through every
-    later crash window — r8 ADVICE), then survivors/buckets/allbuckets/
-    meta/decisions, then ``clusters/`` LAST as the commit marker (the
-    incremental path detects the last completed compaction as
-    max(batch) over ``clusters/``, so a crash anywhere earlier makes
-    the next run redo the whole compaction idempotently instead of
-    trusting half-written state), then stale lower partitions drop."""
-    # sever lineage from the store partitions we are about to rewrite —
-    # but only for plans that actually READ them: the cluster map is
-    # checkpointed ONCE and decisions/survivor-split derive from the
-    # checkpointed copy (cheap projections/joins, no store lineage left
-    # to sever, no repeated materialization of the map's plan).
-    clusters_out = cluster_map.localCheckpoint(eager=True)
+    Two phases (r9 — formerly localCheckpoint + direct overwrite, see
+    :func:`_stage_partition` for why that design OOMs local mode and
+    is fragile to executor loss on a cluster):
+
+    1. STAGE — every output is written once to
+       ``{sub}/.staged_batch-{cbid}`` (invisible to readers; a crash
+       here leaves the visible store byte-identical to before the
+       compaction started). Outputs whose plans read store partitions
+       about to be rewritten (clusters, survivors, dropped,
+       allbuckets) are re-read from their staged files before anything
+       derives from them, which severs the parquet lineage the same
+       way the old eager localCheckpoint did.
+    2. PROMOTE — staged dirs rename into ``batch={cbid}`` in the
+       crash-safe order: ``dropped/`` FIRST (after it lands, every
+       seen doc's text exists in dropped ∪ old-survivors through every
+       later crash window — r8 ADVICE), then survivors/buckets/
+       allbuckets/meta/decisions, then ``clusters/`` LAST as the
+       commit marker (the incremental path detects the last completed
+       compaction as max(batch) over ``clusters/``, so a crash
+       anywhere earlier makes the next run redo the whole compaction
+       idempotently instead of trusting half-written state), then
+       stale lower partitions drop."""
+    _delete_staged_dirs(spark, store_path)
+    clusters_out = _stage_partition(
+        spark, cluster_map, f"{store_path}/clusters", cbid
+    )
     decisions = clusters_out.select(
         "doc_id",
         F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("dup_in_batch"))
@@ -421,27 +557,39 @@ def _write_compacted_state(
     dropped_now = clusters_out.filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
-    new_surv = texts.join(dropped_now, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    new_surv = _stage_partition(
+        spark,
+        texts.join(dropped_now, "doc_id", "left_anti"),
+        f"{store_path}/survivors",
+        cbid,
     )
-    dropped_texts = texts.join(dropped_now, "doc_id", "left_semi").localCheckpoint(
-        eager=True
+    if write_dropped:
+        _stage_partition(
+            spark,
+            texts.join(dropped_now, "doc_id", "left_semi"),
+            f"{store_path}/dropped",
+            cbid,
+        )
+    allbuckets = _stage_partition(
+        spark, allbuckets, f"{store_path}/allbuckets", cbid
     )
-    allbuckets = allbuckets.localCheckpoint(eager=True)
     surv_buckets = allbuckets.join(
         new_surv.select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "band", "bucket")
+    _stage_partition(spark, surv_buckets, f"{store_path}/buckets", cbid)
+    _stage_partition(spark, meta_row, f"{store_path}/meta", cbid)
+    _stage_partition(spark, decisions, f"{store_path}/decisions", cbid)
     n_docs = clusters_out.count()
     n_survivors = new_surv.count()
 
+    # promote phase: no DataFrame above is read past this point — the
+    # renames invalidate the staged read-backs' file listings.
     if write_dropped:
-        _overwrite_partition(dropped_texts, f"{store_path}/dropped", cbid)
-    _overwrite_partition(new_surv, f"{store_path}/survivors", cbid)
-    _overwrite_partition(surv_buckets, f"{store_path}/buckets", cbid)
-    _overwrite_partition(allbuckets, f"{store_path}/allbuckets", cbid)
-    _overwrite_partition(meta_row, f"{store_path}/meta", cbid)
-    _overwrite_partition(decisions, f"{store_path}/decisions", cbid)
-    _overwrite_partition(clusters_out, f"{store_path}/clusters", cbid)
+        _promote_staged(spark, f"{store_path}/dropped", cbid)
+    for sub in (
+        "survivors", "buckets", "allbuckets", "meta", "decisions", "clusters"
+    ):
+        _promote_staged(spark, f"{store_path}/{sub}", cbid)
     for sub in _STORE_SUBDIRS:
         _delete_batch_partitions_below(spark, f"{store_path}/{sub}", cbid)
     out = {
@@ -491,25 +639,29 @@ def recompact_fuzzy_store(
     store that ever dropped a doc raises instead of silently compacting
     to weaker survivor-only semantics.
 
-    Crash safety: the compacted state is written (checkpointed, lineage
-    severed from the store reads) to the highest seen batch partition
-    FIRST, then stale lower partitions are dropped; a crash in between
-    leaves duplicate history that the next compaction run (or this one,
+    Crash safety (r9: stage-then-rename — see
+    :func:`_write_compacted_state`): every compacted output is first
+    written once to a hidden ``.staged_batch-N`` dir (a crash anywhere
+    in that phase leaves the visible store byte-identical and the
+    staged leftovers are swept on the next run), then the staged dirs
+    rename into the highest seen batch partition, then stale lower
+    partitions drop; a crash between promote and the drops leaves
+    duplicate history that the next compaction run (or this one,
     re-run) collapses — ``dropDuplicates(doc_id)`` at entry makes the
-    re-run deterministic. Within the compacted-partition writes,
-    ``dropped/`` goes FIRST (r8 ADVICE): the new dropped set holds the
-    texts of every currently-non-survivor doc, so once it lands, every
-    seen doc's text exists in dropped ∪ old-survivors regardless of
-    where the process dies — overwriting ``survivors/`` first would
-    leave a batch-``cbid`` survivor that compaction demotes to dup with
-    its text in NEITHER store. ``clusters/`` goes LAST (the commit
-    marker the incremental path keys on — see
-    :func:`_write_compacted_state`). The entry-time coverage assertion
+    re-run deterministic. Within the promotions, ``dropped/`` goes
+    FIRST (r8 ADVICE): the new dropped set holds the texts of every
+    currently-non-survivor doc, so once it lands, every seen doc's
+    text exists in dropped ∪ old-survivors regardless of where the
+    process dies — replacing ``survivors/`` first would leave a
+    batch-``cbid`` survivor that compaction demotes to dup with its
+    text in NEITHER store. ``clusters/`` goes LAST (the commit marker
+    the incremental path keys on). The entry-time coverage assertion
     (every doc_id in ``decisions/`` must have a text) turns any
     residual partial-state hole — including some batches having run
     ``keep_dropped_texts=False`` — into a loud error instead of a doc
     silently vanishing from decisions. Use a transactional table format
-    in production for atomic swap semantics.
+    in production for atomic swap semantics (a rename is a copy on
+    object stores).
 
     Round 9: compaction additionally persists the state that makes
     :func:`recompact_fuzzy_store_incremental` possible — ``clusters/``

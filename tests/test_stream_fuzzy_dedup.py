@@ -271,9 +271,10 @@ def test_recompact_partial_dropped_store_raises(spark, tmp_path):
 
 def test_recompact_writes_dropped_partition_first(spark, tmp_path, monkeypatch):
     """r8 ADVICE medium (prevention half): the compacted dropped-texts
-    partition must be written BEFORE survivors/ is overwritten — a
-    crash between the two otherwise leaves a batch-cbid survivor that
-    compaction demotes to dup with its text in neither store."""
+    partition must be PROMOTED before survivors/ is replaced — a crash
+    between the two otherwise leaves a batch-cbid survivor that
+    compaction demotes to dup with its text in neither store. (r9: the
+    order-bearing op is the staged-dir rename, not a direct write.)"""
     import sys as _sys
 
     # note: `import ...fuzzy_dedup_stream as mod` would bind the
@@ -290,13 +291,13 @@ def test_recompact_writes_dropped_partition_first(spark, tmp_path, monkeypatch):
         )
 
     order: list[str] = []
-    real = mod._overwrite_partition
+    real = mod._promote_staged
 
-    def spy(df, root, bid):
+    def spy(sp, root, bid):
         order.append(root.rsplit("/", 1)[-1])
-        real(df, root, bid)
+        real(sp, root, bid)
 
-    monkeypatch.setattr(mod, "_overwrite_partition", spy)
+    monkeypatch.setattr(mod, "_promote_staged", spy)
     res = mod.recompact_fuzzy_store(spark, inc, **params)
     assert res["compacted"] and res["n_survivors"] == 1
     assert order and order[0] == "dropped"
@@ -591,13 +592,72 @@ def test_incremental_write_order_and_commit_marker(spark, tmp_path, monkeypatch)
     process_fuzzy_batch(df2, inc, batch_id=2, keep_dropped_texts=True, **params)
 
     order: list[str] = []
-    real = mod._overwrite_partition
+    real = mod._promote_staged
 
-    def spy(df, root, bid):
+    def spy(sp, root, bid):
         order.append(root.rsplit("/", 1)[-1])
-        real(df, root, bid)
+        real(sp, root, bid)
 
-    monkeypatch.setattr(mod, "_overwrite_partition", spy)
+    monkeypatch.setattr(mod, "_promote_staged", spy)
     res = mod.recompact_fuzzy_store_incremental(spark, inc)
     assert res["compacted"]
     assert order[0] == "dropped" and order[-1] == "clusters"
+
+
+def test_recompact_crash_before_promotion_leaves_store_untouched(
+    spark, tmp_path, monkeypatch
+):
+    """r9 staging contract: every compacted output is staged to
+    ``.staged_batch-N`` dirs invisible to readers BEFORE any rename —
+    a crash anywhere in the stage phase leaves the visible store
+    byte-identical, the re-run redoes the compaction from scratch, and
+    the leftover staged dirs are swept at the next compaction entry."""
+    import sys as _sys
+
+    mod = _sys.modules["tersets_spark.streaming.fuzzy_dedup_stream"]
+
+    a, b, c = _quarter_chain()
+    params = dict(threshold=0.5, n_hashes=30, bands=15)
+    inc = str(tmp_path / "inc")
+    for bid, (doc, txt) in enumerate(((1, a), (2, b), (3, c))):
+        df = spark.createDataFrame([(doc, txt)], "doc_id long, text string")
+        process_fuzzy_batch(
+            df, inc, batch_id=bid, keep_dropped_texts=True, **params
+        )
+    def _snapshot():
+        return {
+            sub: sorted(
+                str(sorted(r.asDict().items()))
+                for r in mod._read_store(spark, f"{inc}/{sub}").collect()
+            )
+            for sub in ("survivors", "decisions", "dropped")
+        }
+
+    before = _snapshot()
+
+    def boom(sp, root, bid):
+        raise RuntimeError("injected crash before first promotion")
+
+    monkeypatch.setattr(mod, "_promote_staged", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        mod.recompact_fuzzy_store(spark, inc, **params)
+
+    # visible store unchanged — staged dirs are hidden from _read_store
+    assert _snapshot() == before
+    import os
+
+    assert os.path.isdir(f"{inc}/clusters/.staged_batch-2")
+
+    # re-run without the injected crash completes and sweeps the
+    # leftover staged dirs
+    monkeypatch.undo()
+    res = mod.recompact_fuzzy_store(spark, inc, **params)
+    assert res["compacted"] and res["n_survivors"] == 1
+    for sub in mod._STORE_SUBDIRS:
+        root = f"{inc}/{sub}"
+        if os.path.isdir(root):
+            assert not [
+                d for d in os.listdir(root) if d.startswith(".staged_batch-")
+            ]

@@ -17,6 +17,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -87,6 +88,12 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         # identical input partitioning at both levels (splits >> cores,
         # as a real table scan would give)
         SPARK_GRAFT_BENCH_PARTITIONS="256",
+        # level runs are flagship-only scaling probes, NOT official
+        # bench runs — route their durable artifact away from the
+        # repo's BENCH_LAST.json so a scaling run can never clobber
+        # the last official artifact (it did exactly that to the r9
+        # run-C artifact before this line existed)
+        SPARK_GRAFT_BENCH_OUT=tempfile.gettempdir(),
     )
     # the drain deliberately leaves the host in steady state, so the
     # in-level calm gate must NOT sleep waiting for a refill (that
