@@ -411,9 +411,7 @@ def _promote_staged(spark: SparkSession, root: str, batch_id: int) -> None:
     if fs.exists(dst):
         fs.delete(dst, True)
     if not fs.rename(src, dst):
-        raise IOError(
-            f"recompaction promote failed: rename {src} -> {dst}"
-        )
+        raise IOError(f"staged promote failed: rename {src} -> {dst}")
 
 
 def _delete_staged_dirs(spark: SparkSession, store_path: str) -> None:
