@@ -63,6 +63,7 @@ from pyspark.sql.utils import AnalysisException
 from pyspark.sql.window import Window
 
 from tersets_spark.operators.dedup import (
+    _CC_COLLECT_EDGES,
     _band_buckets_batch,
     _banded_auditable,
     connected_components,
@@ -395,35 +396,59 @@ def _delete_dir(spark: SparkSession, path: str) -> None:
 
 
 def _promote_staged(spark: SparkSession, root: str, batch_id: int) -> None:
-    """Move ``.staged_batch-N`` into place as ``batch=N``: delete the
-    old partition, rename the staged dir. Two metadata ops — the
-    destructive window per output shrinks from a full rewrite job to a
-    rename (on object stores rename is a copy; production should use a
+    """Move ``.staged_batch-N`` into place as ``batch=N``: rename the
+    old partition ASIDE (``.old_batch-N``), rename the staged dir in,
+    then drop the aside copy (r9 ADVICE — deleting the live dir first
+    left a crash window where a demoted survivor's text existed in NO
+    visible store and only manual recovery of the hidden staged dir
+    could unwedge the next compaction's coverage assertion; now a crash
+    anywhere in the promote leaves every byte on disk in at most three
+    metadata ops, and the aside copy makes recovery a rename). On
+    object stores rename is a copy; production should use a
     transactional table format for true atomic swap, as documented on
-    :func:`recompact_fuzzy_store`)."""
+    :func:`recompact_fuzzy_store`."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(
         f"{root}/.staged_batch-{int(batch_id)}"
     )
     dst = jvm.org.apache.hadoop.fs.Path(f"{root}/batch={int(batch_id)}")
+    aside = jvm.org.apache.hadoop.fs.Path(
+        f"{root}/.old_batch-{int(batch_id)}"
+    )
     fs = src.getFileSystem(hconf)
+    if fs.exists(aside):  # leftover from a crash mid-promote
+        fs.delete(aside, True)
     if fs.exists(dst):
-        fs.delete(dst, True)
+        if not fs.rename(dst, aside):
+            raise IOError(f"staged promote failed: rename {dst} -> {aside}")
     if not fs.rename(src, dst):
         raise IOError(f"staged promote failed: rename {src} -> {dst}")
+    if fs.exists(aside):
+        fs.delete(aside, True)
 
 
-def _delete_staged_dirs(spark: SparkSession, store_path: str) -> None:
-    """Drop leftover ``.staged_batch-*`` dirs from a compaction that
-    crashed mid-stage, and ``.tmp_batch-*`` intermediates from a batch
-    that crashed mid-write (both invisible to readers, but they hold
-    disk)."""
+def _delete_staged_dirs(
+    spark: SparkSession, store_path: str, upto: int | None = None
+) -> None:
+    """Drop leftover ``.staged_batch-*`` / ``.old_batch-*`` dirs from a
+    compaction that crashed mid-stage/mid-promote, and ``.tmp_batch-*``
+    intermediates from a batch that crashed mid-write (all invisible to
+    readers, but they hold disk).
+
+    ``upto`` bounds the sweep to batch ids <= it (r9 ADVICE): a
+    compaction entered at commit id ``cbid`` must not delete the staged
+    intermediates of an in-flight LATER micro-batch running
+    concurrently — ids above the compaction's own commit id are someone
+    else's live state, not leftovers."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for sub, prefix in [(s, ".staged_batch-") for s in _STORE_SUBDIRS] + [
-        ("", ".tmp_batch-")
-    ]:
+    prefixes = [
+        (s, p)
+        for s in _STORE_SUBDIRS
+        for p in (".staged_batch-", ".old_batch-")
+    ] + [("", ".tmp_batch-")]
+    for sub, prefix in prefixes:
         hroot = jvm.org.apache.hadoop.fs.Path(
             f"{store_path}/{sub}" if sub else store_path
         )
@@ -431,8 +456,16 @@ def _delete_staged_dirs(spark: SparkSession, store_path: str) -> None:
         if not fs.exists(hroot):
             continue
         for st in fs.listStatus(hroot):
-            if st.getPath().getName().startswith(prefix):
-                fs.delete(st.getPath(), True)
+            name = st.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            if upto is not None:
+                try:
+                    if int(name[len(prefix):]) > upto:
+                        continue  # a later batch's live intermediates
+                except ValueError:
+                    pass  # unparseable id: treat as leftover, sweep
+            fs.delete(st.getPath(), True)
 
 
 def _seen_texts(
@@ -541,44 +574,79 @@ def _write_compacted_state(
        anywhere earlier makes the next run redo the whole compaction
        idempotently instead of trusting half-written state), then
        stale lower partitions drop."""
-    _delete_staged_dirs(spark, store_path)
-    clusters_out = _stage_partition(
-        spark, cluster_map, f"{store_path}/clusters", cbid
-    )
-    decisions = clusters_out.select(
-        "doc_id",
-        F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("dup_in_batch"))
-        .otherwise(F.lit("survivor"))
-        .alias("status"),
-        F.lit(None).cast("long").alias("matched"),
-    )
-    dropped_now = clusters_out.filter(
-        F.col("doc_id") != F.col("cluster_id")
-    ).select("doc_id")
-    new_surv = _stage_partition(
-        spark,
-        texts.join(dropped_now, "doc_id", "left_anti"),
-        f"{store_path}/survivors",
-        cbid,
-    )
-    if write_dropped:
-        _stage_partition(
-            spark,
-            texts.join(dropped_now, "doc_id", "left_semi"),
-            f"{store_path}/dropped",
-            cbid,
+    _delete_staged_dirs(spark, store_path, upto=cbid)
+    # Stage jobs overlap where independent (optimization guide §2.6:
+    # Spark happily runs several jobs at once; the phase was 9
+    # SEQUENTIAL small jobs whose fixed overhead dominated the
+    # compaction at every measured store size). Dependency order is
+    # preserved through futures: clusters first (everything derives
+    # from its staged read-back), survivors/dropped/decisions/counts
+    # after it, buckets after survivors+allbuckets. allbuckets and
+    # meta depend on nothing and start immediately. The shared `texts`
+    # cache is materialized by _seen_texts' coverage count before this
+    # runs, so concurrent readers hit populated blocks (the AQE lazy-
+    # cache fan-out trap does not apply to a materialized cache).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_allb = pool.submit(
+            _stage_partition, spark, allbuckets,
+            f"{store_path}/allbuckets", cbid,
         )
-    allbuckets = _stage_partition(
-        spark, allbuckets, f"{store_path}/allbuckets", cbid
-    )
-    surv_buckets = allbuckets.join(
-        new_surv.select("doc_id"), "doc_id", "left_semi"
-    ).select("doc_id", "band", "bucket")
-    _stage_partition(spark, surv_buckets, f"{store_path}/buckets", cbid)
-    _stage_partition(spark, meta_row, f"{store_path}/meta", cbid)
-    _stage_partition(spark, decisions, f"{store_path}/decisions", cbid)
-    n_docs = clusters_out.count()
-    n_survivors = new_surv.count()
+        f_meta = pool.submit(
+            _stage_partition, spark, meta_row, f"{store_path}/meta", cbid
+        )
+        clusters_out = _stage_partition(
+            spark, cluster_map, f"{store_path}/clusters", cbid
+        )
+        decisions = clusters_out.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") != F.col("cluster_id"), F.lit("dup_in_batch")
+            )
+            .otherwise(F.lit("survivor"))
+            .alias("status"),
+            F.lit(None).cast("long").alias("matched"),
+        )
+        dropped_now = clusters_out.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        f_surv = pool.submit(
+            _stage_partition, spark,
+            texts.join(dropped_now, "doc_id", "left_anti"),
+            f"{store_path}/survivors", cbid,
+        )
+        f_drop = (
+            pool.submit(
+                _stage_partition, spark,
+                texts.join(dropped_now, "doc_id", "left_semi"),
+                f"{store_path}/dropped", cbid,
+            )
+            if write_dropped
+            else None
+        )
+        f_dec = pool.submit(
+            _stage_partition, spark, decisions,
+            f"{store_path}/decisions", cbid,
+        )
+        f_ndocs = pool.submit(clusters_out.count)
+        new_surv = f_surv.result()
+        allbuckets = f_allb.result()
+        surv_buckets = allbuckets.join(
+            new_surv.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", "band", "bucket")
+        f_buckets = pool.submit(
+            _stage_partition, spark, surv_buckets,
+            f"{store_path}/buckets", cbid,
+        )
+        f_nsurv = pool.submit(new_surv.count)
+        n_docs = f_ndocs.result()
+        n_survivors = f_nsurv.result()
+        f_meta.result()
+        f_dec.result()
+        f_buckets.result()
+        if f_drop is not None:
+            f_drop.result()
 
     # promote phase: no DataFrame above is read past this point — the
     # renames invalidate the staged read-backs' file listings.
@@ -681,15 +749,25 @@ def recompact_fuzzy_store(
     dec = _read_store(spark, f"{store_path}/decisions")
     if surv is None or dec is None:
         return {"compacted": False, "reason": "empty store"}
-    max_batch = dec.agg(F.max("batch")).first()[0]
+    # the max-batch lookup and _seen_texts' coverage count are
+    # independent actions — overlap them (optimization guide §2.6). On
+    # the readable-but-empty store _seen_texts is a harmless no-op scan
+    # (zero seen docs -> zero missing), so running it concurrently with
+    # the emptiness check loses nothing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f_texts = _pool.submit(
+            _seen_texts, spark, store_path, dec, corpus, text_col, id_col
+        )
+        max_batch = dec.agg(F.max("batch")).first()[0]
+        texts, dropped_store = f_texts.result()
     if max_batch is None:
         # readable store, zero decision rows (a stream that only ever
         # processed empty micro-batches writes empty partitions) —
         # nothing to compact; int(None) would TypeError (r8 ADVICE)
+        texts.unpersist()
         return {"compacted": False, "reason": "empty store"}
-    texts, dropped_store = _seen_texts(
-        spark, store_path, dec, corpus, text_col, id_col
-    )
 
     # One banding pass over the full seen corpus feeds BOTH candidate
     # generation (identical to fuzzy_dedup_pipeline's stages: cap filter
@@ -725,7 +803,10 @@ def recompact_fuzzy_store(
         k_shingle=k_shingle, threshold=threshold,
     )
     stats: dict = {}
-    labels = connected_components(verified, max_iter=max_iter, stats=stats)
+    labels = connected_components(
+        verified, max_iter=max_iter, stats=stats,
+        collect_threshold=_CC_COLLECT_EDGES,
+    )
     # connected_components eagerly checkpoints its edge set first,
     # severing lineage from the candidate cache — safe to release after.
     lab = labels.select(
@@ -822,24 +903,52 @@ def recompact_fuzzy_store_incremental(
 
     Returns ``{"compacted", "mode", "batch", "n_docs", "n_survivors",
     "n_new", "n_candidate_pairs", "cc_rounds"}``."""
+    import os as _os
+    import time as _time
+
+    _phases: "dict[str, float] | None" = (
+        {} if _os.environ.get("SPARK_GRAFT_RC_PHASES") else None
+    )
+    _tprev = _time.perf_counter()
+
+    def _mark(tag: str) -> None:
+        nonlocal _tprev
+        if _phases is not None:
+            now = _time.perf_counter()
+            _phases[tag] = round(now - _tprev, 3)
+            _tprev = now
+
     surv = _read_store(spark, f"{store_path}/survivors")
     dec = _read_store(spark, f"{store_path}/decisions")
     if surv is None or dec is None:
         return {"compacted": False, "reason": "empty store"}
-    max_batch = dec.agg(F.max("batch")).first()[0]
-    if max_batch is None:
-        return {"compacted": False, "reason": "empty store"}
     clus = _read_store(spark, f"{store_path}/clusters")
     meta_df = _read_store(spark, f"{store_path}/meta")
     allb = _read_store(spark, f"{store_path}/allbuckets")
-    if clus is None or meta_df is None or allb is None:
+    have_state = not (clus is None or meta_df is None or allb is None)
+    # the three head lookups are independent tiny jobs — overlap them
+    # (optimization guide §2.6) instead of paying three sequential
+    # fixed-overhead round trips
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        f_maxb = _pool.submit(lambda: dec.agg(F.max("batch")).first()[0])
+        f_clast = (
+            _pool.submit(lambda: clus.agg(F.max("batch")).first()[0])
+            if have_state else None
+        )
+        f_meta = _pool.submit(meta_df.collect) if have_state else None
+        max_batch = f_maxb.result()
+    if max_batch is None:
+        return {"compacted": False, "reason": "empty store"}
+    if not have_state:
         raise ValueError(
             "recompact_fuzzy_store_incremental needs the cluster map / "
             "all-docs LSH index / parameter row a prior full "
             "recompact_fuzzy_store persists — run the full compaction "
             "once first"
         )
-    c_last = int(clus.agg(F.max("batch")).first()[0])
+    c_last = int(f_clast.result())
     cbid = int(max_batch)
     if cbid <= c_last:
         # nothing arrived since the last compaction. Still finish any
@@ -853,7 +962,7 @@ def recompact_fuzzy_store_incremental(
             "reason": "nothing new since last compaction",
             "batch": c_last,
         }
-    meta = meta_df.filter(F.col("batch") == c_last).drop("batch").first()
+    meta = next(r for r in f_meta.result() if int(r["batch"]) == c_last)
     k_shingle = int(meta["k_shingle"])
     threshold = float(meta["threshold"])
     n_hashes = int(meta["n_hashes"])
@@ -861,10 +970,8 @@ def recompact_fuzzy_store_incremental(
     bucket_cap = None if meta["bucket_cap"] is None else int(meta["bucket_cap"])
     seed = int(meta["seed"])
     signature = str(meta["signature"])
+    _mark("meta")
 
-    texts, dropped_store = _seen_texts(
-        spark, store_path, dec, corpus, text_col, id_col
-    )
     old_clusters = clus.filter(F.col("batch") == c_last).select(
         "doc_id", "cluster_id"
     )
@@ -885,7 +992,15 @@ def recompact_fuzzy_store_incremental(
         .distinct()
         .join(old_clusters.select("doc_id"), "doc_id", "left_anti")
     )
-    n_new = new_ids.count()
+    # _seen_texts' coverage count and the delta count are independent
+    # actions on disjoint inputs — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f_texts = _pool.submit(
+            _seen_texts, spark, store_path, dec, corpus, text_col, id_col
+        )
+        n_new = new_ids.count()
+        texts, dropped_store = f_texts.result()
+    _mark("seen_texts+n_new")
     if n_new == 0:
         for sub in _STORE_SUBDIRS:
             _delete_batch_partitions_below(spark, f"{store_path}/{sub}", c_last)
@@ -899,6 +1014,7 @@ def recompact_fuzzy_store_incremental(
         new_texts, k_shingle, n_hashes, bands, seed, signature
     ).persist()
     banded_new.count()  # materialize: read by counts, pairs, index union
+    _mark("banded_new")
 
     # combined per-bucket populations for buckets touched by the delta:
     # delta-side counts are tiny; the old side comes off the stored
@@ -927,6 +1043,7 @@ def recompact_fuzzy_store_incremental(
     )
     ok_keys = ok.select("band", "bucket").persist()
     ok_keys.count()  # materialize: broadcast 3x below
+    _mark("ok_keys")
     bnew_ok = banded_new.join(F.broadcast(ok_keys), ["band", "bucket"], "left_semi")
     old_ok = allb.join(F.broadcast(ok_keys), ["band", "bucket"], "left_semi")
     ln, rn = bnew_ok.alias("l"), bnew_ok.alias("r")
@@ -949,6 +1066,7 @@ def recompact_fuzzy_store_incremental(
     )
     cand = nn_pairs.unionByName(no_pairs).distinct().persist()
     n_cand = cand.count()  # materialize BEFORE the verify fan-out
+    _mark("cand")
     # materialize the verified edge set ONCE: it fans out into vids and
     # the contracted plan's TWO broadcast builds below, and each lazy
     # re-evaluation would re-run the shingle joins (measured 12.6 s CC
@@ -957,6 +1075,7 @@ def recompact_fuzzy_store_incremental(
         texts, cand, text_col="text", id_col="doc_id",
         k_shingle=k_shingle, threshold=threshold,
     ).localCheckpoint(eager=True)
+    _mark("verify")
 
     # cluster contraction: rewrite each OLD endpoint to its stored
     # component label (new docs keep their own ids — id spaces are
@@ -991,7 +1110,10 @@ def recompact_fuzzy_store_incremental(
         )
     )
     stats: dict = {}
-    labels = connected_components(contracted, max_iter=max_iter, stats=stats)
+    labels = connected_components(
+        contracted, max_iter=max_iter, stats=stats,
+        collect_threshold=_CC_COLLECT_EDGES,
+    )
     lab = labels.select(
         F.col("node").alias("_n"), F.col("cluster_id").alias("_root")
     )
@@ -1030,6 +1152,7 @@ def recompact_fuzzy_store_incremental(
     ).select("doc_id", "band", "bucket", F.col("n_tot").alias("n_bucket"))
     allbuckets_out = allb_updated.unionByName(bnew_rows)
 
+    _mark("cc_relabel")
     meta_row = meta_df.filter(F.col("batch") == c_last).drop("batch")
     out = _write_compacted_state(
         spark, store_path, cbid, texts, cluster_map,
@@ -1042,6 +1165,9 @@ def recompact_fuzzy_store_incremental(
             "n_candidate_pairs": int(n_cand),
         },
     )
+    _mark("write_state")
+    if _phases is not None:
+        out["phases"] = _phases
     cand.unpersist()
     ok_keys.unpersist()
     banded_new.unpersist()

@@ -261,6 +261,88 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(df).count() == 0
 
 
+def test_connected_components_collect_path_parity(spark):
+    """Round 10: the driver union-find fast path (collect_threshold)
+    must label identically to the distributed star rounds — component
+    minima, every node present — and must only engage at or below the
+    threshold (an over-threshold graph runs the distributed loop and
+    reports its real round count)."""
+    from tersets_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    pairs = [tuple(map(int, rng.integers(0, 50, 2))) for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    st_fast: dict = {}
+    fast = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            df, stats=st_fast, collect_threshold=10_000
+        ).collect()
+    }
+    st_dist: dict = {}
+    dist = {
+        r.node: r.cluster_id
+        for r in connected_components(df, stats=st_dist).collect()
+    }
+    assert fast == dist
+    assert st_fast["cc_rounds"] == 0
+    assert st_dist["cc_rounds"] >= 1
+    # a threshold below the edge count must NOT collect: distributed
+    st_small: dict = {}
+    over = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            df, stats=st_small, collect_threshold=1
+        ).collect()
+    }
+    assert over == dist
+    assert st_small["cc_rounds"] >= 1
+
+
+def test_ngram_jaccard_pairs_matches_sql_set_ops(spark):
+    """Round 10: the mapInPandas Jaccard verify must reproduce the
+    former Catalyst array_intersect/array_union expression bit-for-bit
+    (including short texts, duplicate-heavy texts, and sub-threshold
+    pruning) and drop pairs with a null text."""
+    from tersets_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    rows = [
+        (1, "abcdefghij"), (2, "abcdefghiX"), (3, "abc"),
+        (4, "abc"), (5, "aaaaaaaaaaaa"), (6, "aaaaabaaaaa"),
+        (7, None), (8, "abcdefghij klm nop"), (9, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = [r[0] for r in rows]
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, cands, threshold=0.2).collect()
+    }
+    # reference: the old Catalyst expression, inline
+    sh = docs.select(
+        F.col("doc_id").alias("_id"), shingles("text", 5).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cands.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert got == ref
+    assert all(7 not in p for p in got)  # null text never verifies
+
+
 def test_resolve_duplicate_groups_survivors(spark):
     """Survivor = component-minimum doc; cluster_size counts members."""
     from tersets_spark.operators.dedup import resolve_duplicate_groups
@@ -333,4 +415,7 @@ def test_fuzzy_dedup_pipeline_end_to_end(spark):
         assert all(out[d].cluster_id == 20 for d in (20, 21))
         assert out[10].is_survivor and out[20].is_survivor
         assert not out[11].is_survivor and not out[21].is_survivor
-        assert stats["cc_rounds"] >= 1, signature
+        # small verified-pair graphs opt into the driver union-find
+        # fast path (cc_rounds == 0); the distributed star rounds are
+        # pinned by the connected_components tests below
+        assert stats["cc_rounds"] == 0, signature

@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -64,7 +66,7 @@ def profile_minhash(spark) -> dict:
     docs = entrymod._documents(spark, SF_DIR).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    import pandas as pd
+
     from pyspark.sql import types as T
 
     from tersets_spark.operators.dedup import _band_buckets_batch
@@ -239,6 +241,85 @@ def profile_recompact(spark) -> dict:
     return out
 
 
+def profile_recompact_e2e(spark) -> dict:
+    """Times the REAL recompact_fuzzy_store / _incremental functions in
+    the bench's exact shape (store build untimed)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tersets_spark.streaming.fuzzy_dedup_stream import (
+        process_fuzzy_batch,
+        recompact_fuzzy_store,
+        recompact_fuzzy_store_incremental,
+    )
+
+    entrymod._prep(spark)
+    out: dict = {"probe_ms": calm_probe()}
+    docs_all = entrymod._documents(spark, SF_DIR).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # split the real function's write phase from its compute phase
+    # (sys.modules lookup: the streaming package re-exports a FUNCTION
+    # named fuzzy_dedup_stream that shadows the module attribute)
+    fds = sys.modules["tersets_spark.streaming.fuzzy_dedup_stream"]
+
+    write_times: list = []
+    _orig_write = fds._write_compacted_state
+
+    def _timed_write(*a, **kw):
+        t0 = time.perf_counter()
+        r = _orig_write(*a, **kw)
+        write_times.append(round(time.perf_counter() - t0, 3))
+        return r
+
+    fds._write_compacted_state = _timed_write
+    # full-compaction shape (bench fuzzy_recompact)
+    tmp = tempfile.mkdtemp(prefix="profile_rc_full_")
+    try:
+        for b in range(3):
+            process_fuzzy_batch(
+                docs_all.filter(F.col("doc_id") % 3 == b),
+                tmp, b, signature="fast", keep_dropped_texts=True,
+            )
+        for rep in range(2):
+            t0 = time.perf_counter()
+            res = recompact_fuzzy_store(spark, tmp, signature="fast")
+            out[f"full_recompact_{rep}"] = time.perf_counter() - t0
+        out["full_cc_rounds"] = res.get("cc_rounds")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.clearCache()
+    # incremental shape (bench fuzzy_recompact_incr)
+    tmp = tempfile.mkdtemp(prefix="profile_rc_incr_")
+    try:
+        for b in range(3):
+            process_fuzzy_batch(
+                docs_all.filter(F.col("doc_id") % 4 == b),
+                tmp, b, signature="fast", keep_dropped_texts=True,
+            )
+        recompact_fuzzy_store(spark, tmp, signature="fast")
+        process_fuzzy_batch(
+            docs_all.filter(F.col("doc_id") % 4 == 3),
+            tmp, 3, signature="fast", keep_dropped_texts=True,
+        )
+        t0 = time.perf_counter()
+        res = recompact_fuzzy_store_incremental(spark, tmp)
+        out["incr_recompact"] = time.perf_counter() - t0
+        out["incr_cc_rounds"] = res.get("cc_rounds")
+        out["incr_n_cand"] = res.get("n_candidate_pairs")
+        out["incr_phases"] = res.get("phases")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.clearCache()
+        fds._write_compacted_state = _orig_write
+    out["write_state_times"] = write_times
+    out["probe_ms_end"] = calm_probe()
+    return out
+
+
 def profile_flagship(spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -322,6 +403,7 @@ def main() -> None:
     runners = {
         "minhash": profile_minhash,
         "recompact": profile_recompact,
+        "recompact_e2e": profile_recompact_e2e,
         "flagship": profile_flagship,
         "ivf": profile_ivf,
     }

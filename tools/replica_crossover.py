@@ -19,6 +19,7 @@ mult-1 near-identical replicas), so the verify stage grows for BOTH
 paths — it stresses memory and the candidate fan-out, not the
 incremental path's best case. See BENCH.md for interpretation.
 """
+import os
 import shutil
 import sys
 import tempfile
@@ -26,7 +27,7 @@ import time
 
 from pyspark.sql import SparkSession, functions as F
 
-REPO = __file__.rsplit("/", 2)[0]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as em  # noqa: E402
