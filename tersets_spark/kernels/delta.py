@@ -198,9 +198,15 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
         d_all = ints[1:] - ints[:-1] if ints.size > 1 else np.zeros(0, np.int64)
         d_lens = np.maximum(lens - 1, 0)
         # keep only deltas whose endpoints are in the same row (exact for
-        # any mix of empty/short rows)
-        row_of = np.repeat(np.arange(n_rows), lens)
-        keep = row_of[1:] == row_of[:-1] if row_of.size > 1 else np.zeros(0, bool)
+        # any mix of empty/short rows): a delta at position i crosses a
+        # row boundary iff some offset equals i+1, so clearing the
+        # boundary positions replaces the former full-length
+        # repeat(arange, lens) row-id array (measured ~0.4 s/batch) with
+        # a scatter of n_rows bits
+        keep = np.ones(max(flat.size - 1, 0), dtype=bool)
+        bounds = offsets[1:-1] - 1
+        bounds = bounds[(bounds >= 0) & (bounds < keep.size)]
+        keep[bounds] = False
         d_rows = d_all[keep]  # concatenated per-row deltas
         dr_off = np.concatenate(([0], np.cumsum(d_lens)))
         # min delta per selected row
@@ -217,29 +223,40 @@ def compress_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
             widths = bit_length(maxes)
         # pack per width-group: every row's count is padded to a multiple
         # of 8 values so its section is byte-aligned at ANY width — one
-        # fixed-width pack per distinct width covers all its rows
+        # fixed-width pack per distinct width covers all its rows.
+        # Round 10: rows are width-SORTED once (u8 key — radix sort, see
+        # the playbook's argsort note) so ONE global gather/scatter
+        # builds every group's padded value array contiguously and each
+        # width packs a contiguous slice; the former per-group loop
+        # re-ran repeat + segment_intra_indices twice per distinct
+        # width (~20 full-size temps per batch, measured ~1.2 s of a
+        # 4.9 s batch).
         sel_idx = ok_rows
         p_lens = d_lens + ((-d_lens) % 8)
         sec_bytes = (widths * p_lens) // 8
         sections: dict[int, bytes] = {}  # row -> packed section
-        for w in np.unique(widths[sel_idx]):
-            grp = sel_idx[widths[sel_idx] == w]
-            total = int(p_lens[grp].sum())
-            vals = np.zeros(total, dtype=np.uint64)
-            # gather the group's (unpadded) deltas into padded slots
-            g_off = np.concatenate(([0], np.cumsum(p_lens[grp])))
-            dst = np.repeat(g_off[:-1], d_lens[grp]) + segment_intra_indices(
-                d_lens[grp]
-            )
-            src = np.repeat(dr_off[:-1][grp], d_lens[grp]) + segment_intra_indices(
-                d_lens[grp]
-            )
-            vals[dst] = rebased[src]
-            packed = pack_bits(vals, int(w)) if int(w) else b""
-            mv = memoryview(packed)
-            b_off = np.concatenate(([0], np.cumsum(sec_bytes[grp])))
-            for k, r in enumerate(grp):
-                sections[int(r)] = bytes(mv[b_off[k] : b_off[k + 1]])
+        order = np.argsort(widths[sel_idx].astype(np.uint8), kind="stable")
+        rows_sorted = sel_idx[order]
+        ws = widths[rows_sorted]
+        p_s = p_lens[rows_sorted]
+        d_s = d_lens[rows_sorted]
+        g_off = np.concatenate(([0], np.cumsum(p_s)))
+        intra = segment_intra_indices(d_s)
+        dst = np.repeat(g_off[:-1], d_s) + intra
+        src = np.repeat(dr_off[:-1][rows_sorted], d_s) + intra
+        vals = np.zeros(int(g_off[-1]), dtype=np.uint64)
+        vals[dst] = rebased[src]
+        uniq_w, first_i = np.unique(ws, return_index=True)
+        parts: list[bytes] = []
+        for i, w in enumerate(uniq_w):
+            hi = first_i[i + 1] if i + 1 < uniq_w.size else rows_sorted.size
+            seg = vals[g_off[first_i[i]] : g_off[hi]]
+            parts.append(pack_bits(seg, int(w)) if int(w) else b"")
+        packed_all = b"".join(parts)
+        mv = memoryview(packed_all)
+        sb = np.concatenate(([0], np.cumsum(sec_bytes[rows_sorted])))
+        for k, r in enumerate(rows_sorted):
+            sections[int(r)] = bytes(mv[sb[k] : sb[k + 1]])
         # headers: (30-byte) rows assembled vectorized
         head = np.zeros((sel_idx.size, _HEADER + _INT_HEAD), dtype=np.uint8)
         head[:, 0] = 0  # mode

@@ -992,14 +992,19 @@ def recompact_fuzzy_store_incremental(
         .distinct()
         .join(old_clusters.select("doc_id"), "doc_id", "left_anti")
     )
-    # _seen_texts' coverage count and the delta count are independent
-    # actions on disjoint inputs — overlap them (guide §2.6)
-    with ThreadPoolExecutor(max_workers=2) as _pool:
+    # _seen_texts' coverage count, the delta count, and the allbuckets
+    # cache warm-up are independent actions on disjoint inputs —
+    # overlap them (guide §2.6). Warming allb here moves its cache
+    # population (measured 2.7 s as the first sequential consumer) off
+    # the critical path.
+    with ThreadPoolExecutor(max_workers=3) as _pool:
         f_texts = _pool.submit(
             _seen_texts, spark, store_path, dec, corpus, text_col, id_col
         )
+        f_allb = _pool.submit(allb.count)
         n_new = new_ids.count()
         texts, dropped_store = f_texts.result()
+        f_allb.result()
     _mark("seen_texts+n_new")
     if n_new == 0:
         for sub in _STORE_SUBDIRS:

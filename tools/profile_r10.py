@@ -32,6 +32,13 @@ def act(thunk) -> float:
     return time.perf_counter() - t0
 
 
+def wait_calm(max_wait_s: int = 360) -> tuple:
+    """bench-style gate: single-core AND parallel probes."""
+    import bench as _b
+
+    return _b._wait_for_calm_host(max_wait_s)
+
+
 def calm_probe() -> float:
     import numpy as np
 
@@ -285,6 +292,7 @@ def profile_recompact_e2e(spark) -> dict:
                 tmp, b, signature="fast", keep_dropped_texts=True,
             )
         for rep in range(2):
+            out[f"gate_full_{rep}"] = wait_calm()
             t0 = time.perf_counter()
             res = recompact_fuzzy_store(spark, tmp, signature="fast")
             out[f"full_recompact_{rep}"] = time.perf_counter() - t0
@@ -305,6 +313,7 @@ def profile_recompact_e2e(spark) -> dict:
             docs_all.filter(F.col("doc_id") % 4 == 3),
             tmp, 3, signature="fast", keep_dropped_texts=True,
         )
+        out["gate_incr"] = wait_calm()
         t0 = time.perf_counter()
         res = recompact_fuzzy_store_incremental(spark, tmp)
         out["incr_recompact"] = time.perf_counter() - t0
