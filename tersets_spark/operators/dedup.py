@@ -803,25 +803,20 @@ def embedding_near_dups(
             "df.select(F.size(vec_col)).first() at the CALL site if an "
             "action is acceptable there."
         )
+    from .similarity import _dot_sql
+
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
-    sign_bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int")
-        for p in range(n_planes)
-    ]
-    bucket = sum(
-        (c * (1 << p) for p, c in enumerate(sign_bits)), F.lit(0)
+    # one parsed expression instead of n_planes*dim F.lit py4j round
+    # trips (plan construction measured seconds at 32x64 — see
+    # similarity._dot_sql); bit-identical int arithmetic
+    bucket = F.expr(
+        "CAST(0 AS INT) + "
+        + " + ".join(
+            f"CAST(({_dot_sql(vec_col, planes[p])}) > 0 AS INT)"
+            f" * {1 << p}"
+            for p in range(n_planes)
+        )
     ).alias("bucket")
     b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket)
     b = _cap_buckets(b, ["bucket"], bucket_cap)

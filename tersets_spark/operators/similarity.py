@@ -29,6 +29,27 @@ def _norm(col) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _lit_double_sql(x: float) -> str:
+    """SQL text for an exact double literal: ``repr`` is the shortest
+    round-trip decimal and the JVM's string->double parse is correctly
+    rounded, so the cast folds to the bit-identical constant."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_sql(col_name: str, vals) -> str:
+    """SQL text of :func:`_dot` against a CONSTANT vector. Building the
+    expression as one parsed string replaces len(vals) py4j ``F.lit``
+    round trips — a 32x64 centroid matrix cost ~2.5 s of pure
+    driver-side plan construction per query through the Column API
+    (measured round 10); the parsed tree and its fold results are
+    bit-identical."""
+    arr = "array(" + ",".join(_lit_double_sql(x) for x in vals) + ")"
+    return (
+        f"aggregate(zip_with(`{col_name}`, {arr}, (a, b) -> a * b), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def brute_topk_sql(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,20 +148,16 @@ def lsh_topk(
     planes = rng.normal(size=(n_planes, dim))
 
     def bucket_expr(col_name: str) -> F.Column:
-        bits = [
-            (
-                _dot(
-                    F.col(col_name),
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                )
-                > 0
-            ).cast("long")
-            for p in range(n_planes)
-        ]
-        out = F.lit(0).cast("long")
-        for p, b in enumerate(bits):
-            out = out + b * (1 << p)
-        return out
+        # one parsed expression instead of n_planes*dim F.lit py4j
+        # round trips (see _dot_sql); bit-identical long arithmetic
+        return F.expr(
+            "CAST(0 AS BIGINT) + "
+            + " + ".join(
+                f"CAST(({_dot_sql(col_name, planes[p])}) > 0 AS BIGINT)"
+                f" * CAST({1 << p} AS BIGINT)"
+                for p in range(n_planes)
+            )
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -252,17 +269,14 @@ def _cell_dots(
     set)."""
     if ids is None:
         ids = list(range(len(centroids)))
-    return F.array(
-        *[
-            F.struct(
-                _dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in centroids[j]]),
-                ).alias("d"),
-                F.lit(int(ids[j])).alias("c"),
-            )
+    return F.expr(
+        "array("
+        + ",".join(
+            f"struct({_dot_sql(vec_col, centroids[j])} AS d, "
+            f"{int(ids[j])}L AS c)"
             for j in range(len(centroids))
-        ]
+        )
+        + ")"
     )
 
 
@@ -272,8 +286,12 @@ _SUB = 64
 
 #: above this many inlined doubles the centroid matrix rides a one-row
 #: broadcast instead of plan literals — a realistic IVF (1024 cells x
-#: 768 dims) would otherwise put ~800k literals in every plan
-_INLINE_LIT_LIMIT = 8192
+#: 768 dims) would otherwise put ~800k literals in every plan.
+#: Round 10: lowered 8192 -> 512 after measuring the two paths A/B on
+#: the 32x64 bench index (bit-equal results by test): the literal tree
+#: costs ~0.5 s MORE per query in driver-side analysis while execution
+#: is equal, so inlining only pays below a few hundred doubles.
+_INLINE_LIT_LIMIT = 512
 
 
 def _attach_cell_dots(

@@ -371,6 +371,7 @@ def profile_ivf(spark) -> dict:
 
     import __spark_entry__ as entrymod
     from tersets_spark.operators.similarity import (
+        _kmeans,
         build_ivf_index,
         ivf_topk,
         train_centroids,
@@ -386,21 +387,56 @@ def profile_ivf(spark) -> dict:
     sc = spark.sparkContext
     sc.setJobDescription("ivf: train")
     t0 = time.perf_counter()
-    cents = train_centroids(emb, n_cells=32)
-    out["1_train"] = time.perf_counter() - t0
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(4096).collect()
+    out["1a_train_collect"] = time.perf_counter() - t0
+    import numpy as np
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    t0 = time.perf_counter()
+    cents = _kmeans(X, 32, 10)
+    out["1b_kmeans"] = time.perf_counter() - t0
     sc.setJobDescription("ivf: build index")
     t0 = time.perf_counter()
     index = build_ivf_index(emb, cents)
     out["2_build"] = time.perf_counter() - t0
     sc.setJobDescription("ivf: query")
     t0 = time.perf_counter()
-    ivf_topk(emb, queries, cents, k=5, nprobe=8, index=index).count()
-    out["3_query"] = time.perf_counter() - t0
+    q = ivf_topk(emb, queries, cents, k=5, nprobe=8, index=index)
+    out["3a_query_planbuild"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    q.count()
+    out["3b_query_exec"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     ivf_topk(emb, queries, cents, k=5, nprobe=8, index=index).count()
     out["4_query_again"] = time.perf_counter() - t0
     index.unpersist()
     spark.catalog.clearCache()
+    sc.setJobDescription(None)
+    out["probe_ms_end"] = calm_probe()
+    return out
+
+
+def profile_simhash(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tersets_spark.operators.dedup import simhash_near_dups, simhash_signatures
+
+    entrymod._prep(spark)
+    out: dict = {"probe_ms": calm_probe()}
+    docs = entrymod._documents(spark, SF_DIR).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sc = spark.sparkContext
+    sc.setJobDescription("sh: signatures only")
+    out["1_signatures"] = noop(simhash_signatures(docs))
+    sc.setJobDescription("sh: full near dups")
+    t0 = time.perf_counter()
+    n = simhash_near_dups(docs).count()
+    out["2_full"] = time.perf_counter() - t0
+    out["n_pairs"] = n
+    t0 = time.perf_counter()
+    simhash_near_dups(docs).count()
+    out["3_full_again"] = time.perf_counter() - t0
     sc.setJobDescription(None)
     out["probe_ms_end"] = calm_probe()
     return out
@@ -413,6 +449,7 @@ def main() -> None:
         "minhash": profile_minhash,
         "recompact": profile_recompact,
         "recompact_e2e": profile_recompact_e2e,
+        "simhash": profile_simhash,
         "flagship": profile_flagship,
         "ivf": profile_ivf,
     }
