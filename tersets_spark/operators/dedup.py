@@ -305,25 +305,28 @@ def ngram_jaccard_pairs(
     ``k_shingle`` yields its whole self as the single shingle. A null
     text drops the pair — same as the old ``size(NULL) = -1`` filter.
 
-    Texts are attached only for docs that appear in a candidate pair
-    (semi-join first), so at corpus scale the verify never touches the
-    non-candidate majority. The text columns carry accurate size
-    estimates (plain parquet/cached columns — NOT the
-    ``transform(sequence(...))`` inflation that made the r9 plan pin
-    the array joins to sort-merge), so the planner's broadcast choice
-    is safe to leave enabled here."""
+    Texts are attached by two direct inner joins against the candidate
+    pairs; with a broadcast-able candidate side the non-candidate
+    majority is filtered at the scan, and in the non-broadcast regime
+    the corpus is shuffled exactly as often as the former
+    semi-join-first shape (whose un-cached subtree ran once per text
+    side). The text columns carry accurate size estimates (plain
+    parquet/cached columns — NOT the ``transform(sequence(...))``
+    inflation that made the r9 plan pin the array joins to
+    sort-merge), so the planner's broadcast choice is safe to leave
+    enabled here."""
     k = int(k_shingle)
     t = float(threshold)
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("_id"))
-        .unionByName(candidates.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    needed = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).join(cand_ids, "_id", "left_semi")
-    ta = needed.select(F.col("_id").alias("id_a"), F.col("_text").alias("_ta"))
-    tb = needed.select(F.col("_id").alias("id_b"), F.col("_text").alias("_tb"))
+    # Two direct inner joins attach the pair texts. The former shape
+    # (union+distinct candidate ids -> corpus semi-join -> two joins)
+    # executed its un-cached `needed` subtree once PER text side anyway
+    # — two corpus scans either way — so the direct joins are
+    # scan-equivalent at every scale and drop the distinct + semi-join
+    # stages (3 fewer fixed-overhead stages per verify; the candidate
+    # side broadcasts whenever it is small, and in the non-broadcast
+    # regime both shapes shuffle the corpus twice).
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
     joined = (
         candidates.select("id_a", "id_b")
         .join(ta, "id_a")
@@ -416,6 +419,40 @@ def _star_round(edges: DataFrame) -> DataFrame:
     return children.union(self_edges).distinct()
 
 
+def _min_label_components(edges) -> dict:
+    """Driver-side union-find with path compression over an iterable of
+    (u, v) int pairs; returns {node: component-minimum node} for every
+    node that appears. Shared by :func:`connected_components`' bounded
+    collect path and the incremental compaction's driver contraction —
+    labels are identical to the distributed star rounds by
+    construction."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    return {node: comp_min[find(node)] for node in parent}
+
+
 #: edge-count bound under which :func:`connected_components` may solve
 #: the graph on the driver in ONE collect (when the caller opts in via
 #: ``collect_threshold``): 100k canonical edges is ~1.6 MB — the same
@@ -487,38 +524,14 @@ def connected_components(
         # this replaces the checkpoint + checksum pair of actions).
         rows = edges_plan.limit(int(collect_threshold) + 1).collect()
         if len(rows) <= collect_threshold:
-            parent: dict[int, int] = {}
-
-            def find(x: int) -> int:
-                root = x
-                while parent[root] != root:
-                    root = parent[root]
-                while parent[x] != root:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
-
-            for r in rows:
-                u, v = r[0], r[1]
-                if u not in parent:
-                    parent[u] = u
-                if v not in parent:
-                    parent[v] = v
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    parent[ru] = rv
-            comp_min: dict[int, int] = {}
-            for node in parent:
-                root = find(node)
-                cur = comp_min.get(root)
-                if cur is None or node < cur:
-                    comp_min[root] = node
+            labels = _min_label_components((r[0], r[1]) for r in rows)
             if stats is not None:
                 stats["cc_rounds"] = 0
             out = pd.DataFrame(
                 {
-                    "node": pd.Series(list(parent), dtype="int64"),
+                    "node": pd.Series(list(labels), dtype="int64"),
                     "cluster_id": pd.Series(
-                        [comp_min[find(n)] for n in parent], dtype="int64"
+                        list(labels.values()), dtype="int64"
                     ),
                 }
             )

@@ -588,7 +588,7 @@ def _write_compacted_state(
     # cache fan-out trap does not apply to a materialized cache).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_allb = pool.submit(
             _stage_partition, spark, allbuckets,
             f"{store_path}/allbuckets", cbid,
@@ -630,15 +630,21 @@ def _write_compacted_state(
             f"{store_path}/decisions", cbid,
         )
         f_ndocs = pool.submit(clusters_out.count)
-        new_surv = f_surv.result()
         allbuckets = f_allb.result()
+        # buckets = index rows of surviving docs. Every allbuckets doc
+        # is a seen doc (it was banded from `texts`), so anti-joining
+        # the dropped set is row-identical to semi-joining the staged
+        # survivors — and it only depends on wave-1 outputs, removing a
+        # whole sequential wave (buckets no longer waits for the
+        # survivors write to finish).
         surv_buckets = allbuckets.join(
-            new_surv.select("doc_id"), "doc_id", "left_semi"
+            dropped_now, "doc_id", "left_anti"
         ).select("doc_id", "band", "bucket")
         f_buckets = pool.submit(
             _stage_partition, spark, surv_buckets,
             f"{store_path}/buckets", cbid,
         )
+        new_surv = f_surv.result()
         f_nsurv = pool.submit(new_surv.count)
         n_docs = f_ndocs.result()
         n_survivors = f_nsurv.result()
@@ -1072,56 +1078,107 @@ def recompact_fuzzy_store_incremental(
     cand = nn_pairs.unionByName(no_pairs).distinct().persist()
     n_cand = cand.count()  # materialize BEFORE the verify fan-out
     _mark("cand")
-    # materialize the verified edge set ONCE: it fans out into vids and
-    # the contracted plan's TWO broadcast builds below, and each lazy
-    # re-evaluation would re-run the shingle joins (measured 12.6 s CC
-    # vs 3.0 s for the full path's, which checkpoints its edges first)
-    verified = ngram_jaccard_pairs(
+    verified_plan = ngram_jaccard_pairs(
         texts, cand, text_col="text", id_col="doc_id",
         k_shingle=k_shingle, threshold=threshold,
-    ).localCheckpoint(eager=True)
-    _mark("verify")
-
-    # cluster contraction: rewrite each OLD endpoint to its stored
-    # component label (new docs keep their own ids — id spaces are
-    # disjoint by construction of new_ids), then CC the tiny graph.
-    vids = (
-        verified.select(F.col("id_a").alias("doc_id"))
-        .unionByName(verified.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    oc_small = old_clusters.join(F.broadcast(vids), "doc_id", "left_semi")
-    contracted = (
-        verified.select("id_a", "id_b")
-        .join(
-            F.broadcast(
-                oc_small.select(
-                    F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_ca")
-                )
-            ),
-            "id_a", "left",
-        )
-        .join(
-            F.broadcast(
-                oc_small.select(
-                    F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_cb")
-                )
-            ),
-            "id_b", "left",
-        )
-        .select(
-            F.coalesce("_ca", F.col("id_a")).alias("id_a"),
-            F.coalesce("_cb", F.col("id_b")).alias("id_b"),
-        )
     )
     stats: dict = {}
-    labels = connected_components(
-        contracted, max_iter=max_iter, stats=stats,
-        collect_threshold=_CC_COLLECT_EDGES,
-    )
-    lab = labels.select(
-        F.col("node").alias("_n"), F.col("cluster_id").alias("_root")
-    )
+    if n_cand <= _CC_COLLECT_EDGES:
+        # bounded driver contraction (round 10): the verified edge set
+        # is at most n_cand pairs — already known — so ONE collect
+        # fetches it, one broadcast semi-join collect fetches the
+        # touched old labels, and the contraction + union-find run on
+        # the driver. Replaces the former eager checkpoint + CC action
+        # in which each of the TWO oc_small broadcast builds re-ran the
+        # cluster-store scan and the vids distinct. Labels identical
+        # (same contraction, same component-min rule).
+        ver_rows = verified_plan.collect()
+        _mark("verify")
+        vid_list = sorted(
+            {i for r in ver_rows for i in (r["id_a"], r["id_b"])}
+        )
+        if vid_list:
+            vids_df = spark.createDataFrame(
+                pd.DataFrame({"doc_id": pd.Series(vid_list, dtype="int64")}),
+                schema="doc_id long",
+            )
+            oc_rows = old_clusters.join(
+                F.broadcast(vids_df), "doc_id", "left_semi"
+            ).collect()
+        else:
+            oc_rows = []
+        cmap = {r["doc_id"]: r["cluster_id"] for r in oc_rows}
+        from tersets_spark.operators.dedup import _min_label_components
+
+        # self-loops (both endpoints contracting to one old cluster) are
+        # harmless: the node labels to itself, which coalesces to the
+        # same value the distributed path's u != v filter produces
+        labels_map = _min_label_components(
+            (cmap.get(r["id_a"], r["id_a"]), cmap.get(r["id_b"], r["id_b"]))
+            for r in ver_rows
+        )
+        stats["cc_rounds"] = 0
+        lab = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "_n": pd.Series(list(labels_map), dtype="int64"),
+                    "_root": pd.Series(
+                        list(labels_map.values()), dtype="int64"
+                    ),
+                }
+            ),
+            schema="_n long, _root long",
+        )
+    else:
+        # materialize the verified edge set ONCE: it fans out into vids
+        # and the contracted plan's TWO broadcast builds below, and each
+        # lazy re-evaluation would re-run the shingle joins (measured
+        # 12.6 s CC vs 3.0 s for the full path's, which checkpoints its
+        # edges first)
+        verified = verified_plan.localCheckpoint(eager=True)
+        _mark("verify")
+
+        # cluster contraction: rewrite each OLD endpoint to its stored
+        # component label (new docs keep their own ids — id spaces are
+        # disjoint by construction of new_ids), then CC the tiny graph.
+        vids = (
+            verified.select(F.col("id_a").alias("doc_id"))
+            .unionByName(verified.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        oc_small = old_clusters.join(F.broadcast(vids), "doc_id", "left_semi")
+        contracted = (
+            verified.select("id_a", "id_b")
+            .join(
+                F.broadcast(
+                    oc_small.select(
+                        F.col("doc_id").alias("id_a"),
+                        F.col("cluster_id").alias("_ca"),
+                    )
+                ),
+                "id_a", "left",
+            )
+            .join(
+                F.broadcast(
+                    oc_small.select(
+                        F.col("doc_id").alias("id_b"),
+                        F.col("cluster_id").alias("_cb"),
+                    )
+                ),
+                "id_b", "left",
+            )
+            .select(
+                F.coalesce("_ca", F.col("id_a")).alias("id_a"),
+                F.coalesce("_cb", F.col("id_b")).alias("id_b"),
+            )
+        )
+        labels = connected_components(
+            contracted, max_iter=max_iter, stats=stats,
+            collect_threshold=_CC_COLLECT_EDGES,
+        )
+        lab = labels.select(
+            F.col("node").alias("_n"), F.col("cluster_id").alias("_root")
+        )
     # expand: docs of a relabeled old component follow their label; the
     # corpus-sized maps are only ever broadcast-joined (lab is tiny).
     final_old = (
