@@ -16,6 +16,8 @@ import sys
 import zipfile
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,12 +99,37 @@ def _word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _char_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-codepoint tokens (denser series for tier rollups)."""
+    """Character-codepoint tokens (denser series for tier rollups).
+
+    Round 10: the tokens come from one vectorized numpy pass
+    (utf-32-le codepoints) instead of the Catalyst
+    ``transform(sequence(1, length), ascii(substring(text, i, 1)))`` —
+    ``substring`` walks the UTF8 bytes to position i, making the old
+    expression O(len^2) per document (measured 3x on the char rollup
+    at sf0.1). Values are IDENTICAL for every input: Spark's ``ascii``
+    returns the full Unicode code point of the first character
+    (verified incl. astral plane: ascii('𝄞') = 119070 = ord), which is
+    exactly the utf-32 word; ``length(text)`` counts code points like
+    the utf-32 word count; a NULL text maps to a NULL array in both.
+    The oracle-side definition (_CHAR_TOKENS_ORACLE) is untouched."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _codepoints(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int32)
+                for t in texts
+            ]
+        )
+
     return _documents(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.expr(
-            "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
-        ).alias("tokens"),
+        _codepoints(F.col("text")).alias("tokens"),
         F.length("text").cast("int").alias("n_tok"),
     )
 
