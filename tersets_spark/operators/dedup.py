@@ -139,6 +139,12 @@ def minhash_lsh_candidates(
     def band_buckets(texts: pd.Series) -> pd.Series:
         return _band_buckets_batch(texts, k_shingle, n_hashes, bands, seed)
 
+    # the function is pure, but posexplode's pushed-down null/size
+    # filter otherwise duplicates the evaluation below AND above the
+    # filter (guide §4.4's double-eval pathology — measured
+    # ArrowEvalPython x4 in the self-join plan, x2 after this)
+    band_buckets = band_buckets.asNondeterministic()
+
     banded = (
         df.select(F.col(id_col).alias("_id"), band_buckets(F.col(text_col)).alias("_bb"))
         .select("_id", F.posexplode("_bb").alias("band", "bucket"))

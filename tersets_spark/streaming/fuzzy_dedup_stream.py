@@ -103,6 +103,11 @@ def _banded(
     def band_buckets(texts: pd.Series) -> pd.Series:
         return _band_buckets_batch(texts, k_shingle, n_hashes, bands, seed)
 
+    # pure function; nondeterministic marker stops the optimizer from
+    # duplicating the evaluation around posexplode's pushed filter
+    # (guide §4.4 — see minhash_lsh_candidates)
+    band_buckets = band_buckets.asNondeterministic()
+
     return docs.select(
         "doc_id", band_buckets(F.col("text")).alias("_bb")
     ).select("doc_id", F.posexplode("_bb").alias("band", "bucket"))
