@@ -107,6 +107,21 @@ def test_minhash_join_is_equi_join(spark):
     assert "hashpartitioning" in plan  # banded equi-join shuffles on bucket
 
 
+def test_minhash_signature_udf_single_eval_per_side(spark):
+    """The band_buckets pandas UDF must be evaluated exactly once per
+    self-join side.  posexplode's pushed-down null/size filter otherwise
+    makes Catalyst duplicate the (pure) UDF below AND above the filter —
+    measured ArrowEvalPython x4 before the asNondeterministic marker,
+    x2 after (r10 §8)."""
+    from tersets_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    plan = _plan(minhash_lsh_candidates(docs, n_hashes=16, bands=4))
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
 def test_simhash_is_pure_catalyst(spark):
     """The round-2 rewrite: SimHash signatures must contain NO Python
     evaluation nodes — md5/conv/shift/bit-vote all JVM-side, votes as a
